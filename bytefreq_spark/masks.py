@@ -1,0 +1,190 @@
+"""Pattern masks — the heart of the engine.
+
+Re-implements the reference's four mask grains (see SURVEY.md §2.2; reference
+/root/reference/src/main.rs:34-114) as *three synchronized surfaces*:
+
+1. ``mask_col(col, grain)``   — native Spark Column expressions (JVM regexp chain,
+   whole-stage-codegen friendly; the fast distributed path).
+2. ``mask_series(s, grain)``  — vectorized pandas implementation (codepoint
+   translate table built from ``unicodedata``; byte-exact to the reference's
+   per-char Rust semantics). Used inside pandas-UDF pipeline stages and as the
+   single-node reference implementation.
+3. ``duckdb_mask_sql(expr, grain)`` — ANSI/DuckDB SQL string for the driver's
+   correctness oracle (RE2 has no backreferences, so the run-length collapse is
+   a list-lambda instead).
+
+Grain semantics (verified char-for-char against the reference goldens,
+README.md:276-314 — see FIXTURES.md §7):
+
+* ``H``  (high grain, ASCII; main.rs:67-77):  a-z→``a``, A-Z→``A``, 0-9→``9``,
+  everything else verbatim.
+* ``L``  (low grain; main.rs:79-95): ``H`` then collapse ANY run of a repeated
+  char to one; empty → ``_``.
+* ``HU`` (high grain Unicode; main.rs:39-65): ASCII digit/lower/upper →
+  ``9``/``a``/``A``; of ASCII punctuation only ``" - . ,`` kept verbatim;
+  whitespace → ``' '``; then Unicode general category: Lu/Lt→``A``,
+  Ll/Lo/Lm→``a``, Nd/Nl/No→``9``, Zs/Zl/Zp→``' '``; all else → ``_``.
+* ``LU`` (main.rs:105-110): ``HU`` then the ``L`` collapse; empty → ``_``.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+GRAINS = ("H", "L", "HU", "LU")
+
+# ---------------------------------------------------------------------------
+# Shared regex spec (Java regex / Spark).  Order matters: ASCII rules first,
+# then whitespace, then Unicode categories, then the catch-all.
+# ---------------------------------------------------------------------------
+
+_H_STEPS = [("[a-z]", "a"), ("[A-Z]", "A"), ("[0-9]", "9")]
+
+# Rust char::is_whitespace == Unicode White_Space == these Cc chars + Zs+Zl+Zp.
+_HU_STEPS = _H_STEPS + [
+    ("[\\t\\n\\x0B\\f\\r\\x85\\p{Zs}\\p{Zl}\\p{Zp}]", " "),
+    ("[\\p{Lu}\\p{Lt}]", "A"),
+    ("[\\p{Ll}\\p{Lo}\\p{Lm}]", "a"),
+    ("[\\p{Nd}\\p{Nl}\\p{No}]", "9"),
+    ('[^Aa9 ",.\\-]', "_"),
+]
+
+_COLLAPSE_JAVA = ("(.)\\1+", "$1")
+
+
+def mask_col(col: Column | str, grain: str = "LU") -> Column:
+    """Native-Column mask expression (stays inside whole-stage codegen)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if grain not in GRAINS:
+        grain = "HU"  # reference: unknown grain falls through to HU (main.rs:104)
+    steps = _H_STEPS if grain in ("H", "L") else _HU_STEPS
+    out = c
+    for pat, rep in steps:
+        out = F.regexp_replace(out, pat, rep)
+    if grain in ("L", "LU"):
+        out = F.regexp_replace(out, *_COLLAPSE_JAVA)
+        out = F.when(out == "", F.lit("_")).otherwise(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (RE2: \x{85}, \p{..} classes; no backrefs → list lambda)
+# ---------------------------------------------------------------------------
+
+_HU_STEPS_RE2 = _H_STEPS + [
+    ("[\\t\\n\\x0b\\f\\r\\x{0085}\\p{Zs}\\p{Zl}\\p{Zp}]", " "),
+    ("[\\p{Lu}\\p{Lt}]", "A"),
+    ("[\\p{Ll}\\p{Lo}\\p{Lm}]", "a"),
+    ("[\\p{Nd}\\p{Nl}\\p{No}]", "9"),
+    ("[^Aa9 \",.-]", "_"),
+]
+
+
+def _duckdb_collapse(inner: str) -> str:
+    split = f"string_split({inner}, '')"
+    return (
+        f"(CASE WHEN {inner} = '' THEN '_' ELSE array_to_string(list_filter("
+        f"{split}, (c, i) -> i = 1 OR c <> ({split})[i - 1]), '') END)"
+    )
+
+
+def duckdb_mask_sql(expr: str, grain: str = "LU") -> str:
+    """SQL expression string computing the mask of ``expr`` in DuckDB."""
+    if grain not in GRAINS:
+        grain = "HU"
+    steps = _H_STEPS if grain in ("H", "L") else _HU_STEPS_RE2
+    out = expr
+    for pat, rep in steps:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{rep}', 'g')"
+    if grain in ("L", "LU"):
+        out = _duckdb_collapse(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pandas / pure-Python surface (byte-exact per-char reference semantics)
+# ---------------------------------------------------------------------------
+
+
+class _HUTable(dict):
+    """Lazy codepoint→mask translate table mirroring main.rs:39-65."""
+
+    def __missing__(self, cp: int) -> str:
+        ch = chr(cp)
+        if "0" <= ch <= "9":
+            r = "9"
+        elif "a" <= ch <= "z":
+            r = "a"
+        elif "A" <= ch <= "Z":
+            r = "A"
+        elif ch in '"-.,':
+            r = ch
+        elif ch.isspace() or ch in "\x1c\x1d\x1e\x1f":  # Rust is_whitespace ⊇ these? no — see note
+            # Rust char::is_whitespace uses Unicode White_Space; Python str.isspace
+            # additionally counts U+001C-001F.  Route those to the category rule.
+            if ch in "\x1c\x1d\x1e\x1f":
+                r = "_"
+            else:
+                r = " "
+        else:
+            cat = unicodedata.category(ch)
+            r = {
+                "Lu": "A", "Lt": "A",
+                "Ll": "a", "Lo": "a", "Lm": "a",
+                "Nd": "9", "Nl": "9", "No": "9",
+                "Zs": " ", "Zl": " ", "Zp": " ",
+            }.get(cat, "_")
+        self[cp] = r
+        return r
+
+
+_HU_TABLE = _HUTable()
+_H_TABLE = {
+    **{c: "a" for c in range(ord("a"), ord("z") + 1)},
+    **{c: "A" for c in range(ord("A"), ord("Z") + 1)},
+    **{c: "9" for c in range(ord("0"), ord("9") + 1)},
+}
+_COLLAPSE_RE = re.compile(r"(.)\1+")
+
+
+@lru_cache(maxsize=65536)
+def mask_str(value: str, grain: str = "LU") -> str:
+    """Pure-Python single-value mask (reference implementation for tests)."""
+    if grain not in GRAINS:
+        grain = "HU"
+    table = _H_TABLE if grain in ("H", "L") else _HU_TABLE
+    hi = value.translate(table)
+    if grain in ("H", "HU"):
+        return hi
+    lo = _COLLAPSE_RE.sub(r"\1", hi)
+    return lo if lo else "_"
+
+
+def mask_series(s: pd.Series, grain: str = "LU") -> pd.Series:
+    """Vectorized pandas mask (for pandas-UDF stages). NaN-safe."""
+    if grain not in GRAINS:
+        grain = "HU"
+    table = _H_TABLE if grain in ("H", "L") else _HU_TABLE
+    out = s.fillna("").str.translate(table)
+    if grain in ("L", "LU"):
+        out = out.str.replace(_COLLAPSE_RE, r"\1", regex=True)
+        out = out.mask(out == "", "_")
+    return out
+
+
+def mask_pandas_udf(grain: str = "LU"):
+    """Series→Series pandas UDF for the given grain (Arrow-batched)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _mask(s: pd.Series) -> pd.Series:
+        return mask_series(s, grain)
+
+    return _mask

@@ -1,0 +1,253 @@
+"""Mask-gated assertion rules (reference rules/assertions.rs:182-249).
+
+The reference's key trick — cheap mask check gates expensive parse — maps
+directly onto Catalyst ``when(mask == ..., expensive_expr)`` short-circuits.
+All rules are native column expressions (no Python in the hot path); the only
+data dependency is a small country dimension, applied as a broadcast join or
+inline map (J1/J2).
+
+Schema note: the reference emits a *dynamic* JSON object containing only the
+rules that fired (assertions.rs:184).  Spark wants a static schema, so we emit
+the fixed superset struct with NULLs for rules that did not fire — a
+documented, schema-stable deviation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .masks import mask_col
+
+# Date formats in reference priority order (assertions.rs:84-91); single-letter
+# Java patterns accept 1-2 digit day/month like chrono's %d/%m.
+DATE_FORMATS = ["d-MMM-yyyy", "d-M-yyyy", "d/M/yyyy", "yyyy-M-d", "M/d/yyyy", "yyyyMMdd"]
+
+UK_POSTCODE_RE = (
+    r"^(([A-Z][A-HJ-Y]?\d[A-Z\d]?|ASCN|STHL|TDCU|BBND|[BFS]IQQ|PCRN|TKCA) ?"
+    r"\d[A-Z]{2}|BFPO ?\d{1,4}|(KY\d|MSR|VG|AI)[ -]?\d{4}|[A-Z]{2} ?\d{2}|GE ?CX|"
+    r"GIR ?0A{2}|SAN ?TA1)$"
+)
+
+TIMESTAMP_FIELD_KEYWORDS = [
+    "time", "timestamp", "epoch", "created", "updated",
+    "modified", "date", "ts", "datetime", "when",
+]
+
+# Country dimension (J1).  The reference resolves names via the geonamescache
+# crate (assertions.rs:27); we embed a compact public ISO-3166 name→alpha3 dim
+# covering the fixture + common names.  UK constituents are special-cased
+# exactly as assertions.rs:9-18.
+COUNTRY_ISO3 = {
+    "afghanistan": "AFG", "argentina": "ARG", "australia": "AUS", "austria": "AUT",
+    "bangladesh": "BGD", "belgium": "BEL", "brazil": "BRA", "bulgaria": "BGR",
+    "canada": "CAN", "chile": "CHL", "china": "CHN", "colombia": "COL",
+    "croatia": "HRV", "cyprus": "CYP", "czechia": "CZE", "czech republic": "CZE",
+    "denmark": "DNK", "egypt": "EGY", "estonia": "EST", "ethiopia": "ETH",
+    "finland": "FIN", "france": "FRA", "germany": "DEU", "greece": "GRC",
+    "hungary": "HUN", "iceland": "ISL", "india": "IND", "indonesia": "IDN",
+    "iran": "IRN", "iraq": "IRQ", "ireland": "IRL", "israel": "ISR",
+    "italy": "ITA", "japan": "JPN", "kenya": "KEN", "latvia": "LVA",
+    "lithuania": "LTU", "luxembourg": "LUX", "malaysia": "MYS", "malta": "MLT",
+    "mexico": "MEX", "morocco": "MAR", "netherlands": "NLD", "new zealand": "NZL",
+    "nigeria": "NGA", "norway": "NOR", "pakistan": "PAK", "peru": "PER",
+    "philippines": "PHL", "poland": "POL", "portugal": "PRT", "romania": "ROU",
+    "russia": "RUS", "russian federation": "RUS", "saudi arabia": "SAU",
+    "singapore": "SGP", "slovakia": "SVK", "slovenia": "SVN",
+    "south africa": "ZAF", "south korea": "KOR", "spain": "ESP", "sweden": "SWE",
+    "switzerland": "CHE", "thailand": "THA", "turkey": "TUR", "ukraine": "UKR",
+    "united arab emirates": "ARE", "united kingdom": "GBR",
+    "united states": "USA", "united states of america": "USA", "usa": "USA",
+    "us": "USA", "uk": "GBR", "vietnam": "VNM",
+}
+UK_CONSTITUENTS = {
+    "england": ("GBR", "GB-ENG"),
+    "scotland": ("GBR", "GB-SCT"),
+    "northern ireland": ("GBR", "GB-NIR"),
+    "wales": ("GBR", "GB-WLS"),
+    "cymru": ("GBR", "GB-WLS"),
+}
+
+_EU4 = ["AT", "BE", "BG", "CH", "CY", "CZ", "DK", "EE", "FI", "GR", "HU", "IE",
+        "LT", "LU", "LV", "MT", "NL", "NO", "PL", "PT", "RO", "SE", "SI", "SK"]
+_EU5 = ["DE", "ES", "FR", "HR", "IT"]
+
+
+def _strip_quotes(c: Column) -> Column:
+    # assertions.rs:186-188 trim_matches('"')
+    return F.regexp_replace(c, '^"+|"+$', "")
+
+
+def _country_map_col():
+    pairs = []
+    for k, v in COUNTRY_ISO3.items():
+        pairs += [F.lit(k), F.lit(v)]
+    return F.create_map(*pairs)
+
+
+def std_date_col(raw: Column) -> Column:
+    """F3: first-succeeding format in reference priority order."""
+    return F.coalesce(
+        *[F.try_to_date(raw, fmt) for fmt in DATE_FORMATS]
+    )
+
+
+def rules_struct(field_name: str, raw_c: Column, hu_c: Column, lu_c: Column) -> Column:
+    """``Rules`` struct for one field — mirror of execute_assertions."""
+    name = field_name.lower()
+    raw = _strip_quotes(raw_c)
+    hu = _strip_quotes(hu_c)
+    lu = _strip_quotes(lu_c)
+
+    # F1 string_length (chars)
+    string_length = F.length(raw)
+
+    # F2 is_numeric, gated lu ∈ {9, 9.9}
+    num_gate = lu.isin("9", "9.9")
+    is_numeric = F.when(num_gate, raw.try_cast("double").isNotNull())
+
+    # F3 std_date, gated by mask patterns or field name
+    date_gate_mask = lu.isin("9_9_9", "9-9-9", "9/9/9", "9-Aa-9")
+    date_gate = date_gate_mask | F.lit("date" in name)
+    std_date = F.when(date_gate, std_date_col(raw).cast("string"))
+
+    # F4 is_sensible_dob
+    if "dob" in name:
+        parsed = std_date_col(raw)
+        dob_ok = parsed.isNotNull() & parsed.between(
+            F.date_sub(F.current_date(), 127 * 52 * 7), F.current_date()
+        )
+        is_dob = F.when(hu == "99_99_9999", F.coalesce(dob_ok, F.lit(False)))
+    else:
+        is_dob = F.lit(None).cast("boolean")
+
+    # F5 is_uk_postcode, gated lu=='A9 9A' or hu=='A9A 9A'
+    pc_gate = (lu == "A9 9A") | (hu == "A9A 9A")
+    is_uk_postcode = F.when(pc_gate, raw.rlike(UK_POSTCODE_RE))
+
+    # F6 poss_postal_country (only for fields whose name contains 'post')
+    if "post" in name:
+        base = (
+            F.when(hu == "9999", F.array(*[F.lit(c) for c in _EU4]))
+            .when(hu == "99999", F.array(*[F.lit(c) for c in _EU5]))
+            .when(hu == "999-99", F.array(F.lit("SE")))
+            .when(hu == "AAA-9999", F.array(F.lit("IE")))
+            .otherwise(F.array().cast("array<string>"))
+        )
+        first = F.substring(raw, 1, 1)
+        narrowed = (
+            F.when((lu == "9-9999") & (first == "1"),
+                   F.array_intersect(base, F.array(F.lit("DE"))))
+            .when((hu == "9999") & (first == "0"),
+                  F.array_intersect(base, F.array(F.lit("NL"))))
+            .when((hu == "99999") & (first == "9"),
+                  F.array_intersect(base, F.array(F.lit("FR"))))
+            .otherwise(base)
+        )
+        with_uk = F.when(
+            lu.isin("A9 9A", "A9A 9A", "A9A"),
+            F.concat(narrowed, F.array(F.lit("UK"))),
+        ).otherwise(narrowed)
+        poss_postal = F.when(F.size(with_uk) > 0, with_uk)
+    else:
+        poss_postal = F.lit(None).cast("array<string>")
+
+    # F7 std_country_iso3 / std_region_code
+    if "country" in name:
+        cm = _country_map_col()
+        lowered = F.lower(raw)
+        from_dim = cm[lowered]
+        uk_map = F.create_map(
+            *[x for k, (iso3, _) in UK_CONSTITUENTS.items() for x in (F.lit(k), F.lit(iso3))]
+        )
+        uk_region = F.create_map(
+            *[x for k, (_, reg) in UK_CONSTITUENTS.items() for x in (F.lit(k), F.lit(reg))]
+        )
+        country_gate = ~lu.rlike("9")
+        iso3 = F.when(country_gate, F.coalesce(from_dim, uk_map[lowered]))
+        region = F.when(
+            country_gate,
+            F.coalesce(
+                F.when(from_dim.isNotNull(), F.concat(from_dim, F.lit("-"), raw)),
+                uk_region[lowered],
+            ),
+        )
+    else:
+        iso3 = F.lit(None).cast("string")
+        region = F.lit(None).cast("string")
+
+    # F8 unix timestamps (field-name keyword gate is driver-side)
+    if any(k in name for k in TIMESTAMP_FIELD_KEYWORDS):
+        ln = F.length(raw)
+        all9 = lu == "9"  # LU collapses digit runs: all-digits ⇔ LU=='9'
+        secs = (
+            F.when(ln == 10, raw.try_cast("long"))
+            .when(ln == 13, (raw.try_cast("long") / 1000).cast("long"))
+            .when(ln == 16, (raw.try_cast("long") / 1000000).cast("long"))
+            .when(ln == 19, (raw.try_cast("long") / 1000000000).cast("long"))
+        )
+        in_range = secs.between(946684800, 4102444800)
+        unit = (
+            F.when(ln == 10, F.lit("seconds"))
+            .when(ln == 13, F.lit("milliseconds"))
+            .when(ln == 16, F.lit("microseconds"))
+            .when(ln == 19, F.lit("nanoseconds"))
+        )
+        ts_gate = all9 & raw.try_cast("long").isNotNull() & in_range
+        is_unix = F.when(ts_gate, unit)
+        ts_date = F.when(ts_gate, F.from_unixtime(secs, "yyyy-MM-dd"))
+        ts_datetime = F.when(
+            ts_gate, F.concat(F.from_unixtime(secs, "yyyy-MM-dd HH:mm:ss"), F.lit(" UTC"))
+        )
+        # F8 also overrides std_date when it fires (assertions.rs:242-244)
+        std_date = F.coalesce(ts_date, std_date)
+    else:
+        is_unix = F.lit(None).cast("string")
+        ts_datetime = F.lit(None).cast("string")
+
+    return F.struct(
+        string_length.alias("string_length"),
+        is_numeric.alias("is_numeric"),
+        std_date.alias("std_date"),
+        is_dob.alias("is_sensible_dob"),
+        is_uk_postcode.alias("is_uk_postcode"),
+        poss_postal.alias("poss_postal_country"),
+        iso3.alias("std_country_iso3"),
+        region.alias("std_region_code"),
+        is_unix.alias("is_unix_timestamp"),
+        ts_datetime.alias("std_datetime"),
+    )
+
+
+def enhanced(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """R4: per-field enhanced struct ``{raw, HU, LU, Rules}`` (main.rs:196-223)."""
+    cols = columns or df.columns
+    out = []
+    for c in cols:
+        raw = F.col(c).cast("string")
+        hu = mask_col(raw, "HU")
+        lu = mask_col(raw, "LU")
+        out.append(
+            F.struct(
+                raw.alias("raw"),
+                hu.alias("HU"),
+                lu.alias("LU"),
+                rules_struct(c, raw, hu, lu).alias("Rules"),
+            ).alias(c)
+        )
+    return df.select(out)
+
+
+def enhanced_flat(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """R5: flattened variant with dotted keys ``field.HU`` … (main.rs:944-948)."""
+    cols = columns or df.columns
+    e = enhanced(df, cols)
+    flat = []
+    for c in cols:
+        for leaf in ("raw", "HU", "LU"):
+            flat.append(F.col(f"`{c}`.{leaf}").alias(f"{c}.{leaf}"))
+        for rk in ("string_length", "is_numeric", "std_date", "is_sensible_dob",
+                   "is_uk_postcode", "poss_postal_country", "std_country_iso3",
+                   "std_region_code", "is_unix_timestamp", "std_datetime"):
+            flat.append(F.col(f"`{c}`.Rules.{rk}").alias(f"{c}.Rules.{rk}"))
+    return e.select(flat)

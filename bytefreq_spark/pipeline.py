@@ -1,0 +1,237 @@
+"""Distributed quality-filter pipeline (the north-rule system).
+
+Stage graph (all declarative DataFrame ops; Python only in Arrow-vectorized
+pandas-UDF stages):
+
+1. **featurize** — one pandas-UDF stage computing per-turn features, langid,
+   perplexity and scrubbed text from the shared kernels (single Arrow
+   round-trip; no per-row Python).
+2. **mask-frequency dictionary** — distributed ``groupBy(lu_key).count()``
+   (the Spark analogue of bytefreq's associative-array tallies) broadcast-
+   joined back onto turns (J4).  At 10^12 turns the dictionary stays small
+   (low-cardinality masks) — the broadcast is what makes this scale.
+3. **prev-turn join** — duplicate-turn detection via a self-join on
+   ``(conv_id, turn_idx-1)`` instead of a ``Window.partitionBy(conv_id)``:
+   hash-partitioning on the *composite* key spreads a million-turn whale
+   conversation over the cluster, where a window would pin it to one task
+   (explicit skew handling per the north rule).  ``salt`` on the featurize
+   repartition covers residual input-partition skew.
+4. **decide** — shared ``decide()`` kernel in a pandas UDF over the joined
+   columns (identical arithmetic to the reference implementation).
+5. **write** — ``repartitionByRange(conv_id, turn_idx)`` +
+   ``sortWithinPartitions`` for stable (conv_id, turn_idx) output order,
+   snapshot checkpoints with manifests, per-partition metrics + lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from .langid import detect_language
+from .perplexity import perplexity
+from .quality import decide, text_features
+from .scrub import scrub_series
+
+FEATURE_SCHEMA = StructType([
+    StructField("n_chars", LongType()),
+    StructField("n_tokens", LongType()),
+    StructField("digit_count", LongType()),
+    StructField("weird_count", LongType()),
+    StructField("mask_entropy", DoubleType()),
+    StructField("lu_key", StringType()),
+    StructField("lang", StringType()),
+    StructField("ppl", DoubleType()),
+    StructField("scrubbed_text", StringType()),
+])
+
+DECISION_SCHEMA = StructType([
+    StructField("keep", BooleanType()),
+    StructField("drop_reason", StringType()),
+])
+
+
+def _featurize_udf():
+    @F.pandas_udf(FEATURE_SCHEMA)
+    def feats(text: pd.Series) -> pd.DataFrame:
+        f = text_features(text)
+        f["lang"] = detect_language(text)
+        f["ppl"] = perplexity(text)
+        f["scrubbed_text"] = scrub_series(text)
+        return f
+
+    return feats
+
+
+def _decide_udf():
+    @F.pandas_udf(DECISION_SCHEMA)
+    def dec(
+        lang: pd.Series, ppl: pd.Series, n_chars: pd.Series,
+        digit_count: pd.Series, weird_count: pd.Series, mask_entropy: pd.Series,
+        lu_count: pd.Series, lu_total: pd.Series, is_dup: pd.Series,
+        role: pd.Series,
+    ) -> pd.DataFrame:
+        return decide(lang, ppl, n_chars, digit_count, weird_count,
+                      mask_entropy, lu_count, lu_total, is_dup, role)
+
+    return dec
+
+
+def featurize(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+    """Stage 1: per-turn features/lang/ppl/scrub in one Arrow round-trip.
+
+    ``salt_partitions`` forces an even round-robin repartition before the UDF
+    stage so a skewed upstream layout (one huge conversation in one input
+    file) cannot starve the scoring stage — per-turn work is
+    order-independent, so this is free correctness-wise.
+    """
+    if salt_partitions:
+        df = df.repartition(salt_partitions)  # round-robin: breaks any skew
+    return df.withColumn("_f", _featurize_udf()(F.col("text"))).select(
+        "*", "_f.*"
+    ).drop("_f")
+
+
+def mask_frequency_dict(featurized: DataFrame) -> DataFrame:
+    """Stage 2a: corpus-wide LU-mask frequency dictionary (distributed
+    groupBy-count; the bytefreq tally, A1)."""
+    return featurized.groupBy("lu_key").agg(F.count("*").alias("lu_count"))
+
+
+def with_mask_frequency(featurized: DataFrame, freq: DataFrame | None = None) -> DataFrame:
+    """Stage 2b: broadcast the dictionary back onto turns (J4)."""
+    freq = freq if freq is not None else mask_frequency_dict(featurized)
+    # total derives from the (tiny) dictionary — avoids a second full count job
+    total = freq.agg(F.sum("lu_count")).collect()[0][0] or 0
+    return (
+        featurized.join(F.broadcast(freq), "lu_key", "left")
+        .withColumn("lu_total", F.lit(int(total)).cast("long"))
+    )
+
+
+def with_prev_turn(df: DataFrame) -> DataFrame:
+    """Stage 3: skew-safe duplicate detection (self-join on composite key)."""
+    prev = df.select(
+        F.col("conv_id").alias("conv_id"),
+        (F.col("turn_idx") + 1).alias("turn_idx"),
+        F.col("text").alias("_prev_text"),
+    )
+    joined = df.join(prev, ["conv_id", "turn_idx"], "left")
+    return joined.withColumn(
+        "is_dup",
+        F.col("_prev_text").isNotNull()
+        & (F.col("_prev_text") == F.col("text"))
+        & (F.coalesce(F.col("text"), F.lit("")) != ""),
+    ).drop("_prev_text")
+
+
+def with_decision(df: DataFrame) -> DataFrame:
+    """Stage 4: keep/drop via the shared decision kernel."""
+    dec = _decide_udf()(
+        F.col("lang"), F.col("ppl"), F.col("n_chars"), F.col("digit_count"),
+        F.col("weird_count"), F.col("mask_entropy"), F.col("lu_count"),
+        F.col("lu_total"), F.col("is_dup"), F.col("role"),
+    )
+    return df.withColumn("_d", dec).select("*", "_d.*").drop("_d")
+
+
+def stable_order(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Stage 5: stable (conv_id, turn_idx) ordering for output."""
+    rp = df.repartitionByRange(*( [partitions] if partitions else [] ),
+                               "conv_id", "turn_idx")
+    return rp.sortWithinPartitions("conv_id", "turn_idx")
+
+
+def quality_filter(
+    df: DataFrame,
+    salt_partitions: int | None = None,
+    ordered: bool = True,
+) -> DataFrame:
+    """Full pipeline: transcripts → labeled/scrubbed turns."""
+    feat = featurize(df, salt_partitions)
+    with_freq = with_mask_frequency(feat)
+    with_prev = with_prev_turn(with_freq)
+    decided = with_decision(with_prev)
+    return stable_order(decided) if ordered else decided
+
+
+# ---------------------------------------------------------------------------
+# Snapshots, checkpoint/resume, metrics, lineage
+# ---------------------------------------------------------------------------
+
+
+def write_snapshot(df: DataFrame, out_dir: str, name: str, config: dict) -> str:
+    """Parquet snapshot + manifest (Iceberg-style commit: data first, tiny
+    manifest last → a snapshot without its manifest is simply not visible)."""
+    path = os.path.join(out_dir, name)
+    df.write.mode("overwrite").parquet(path)
+    manifest = {
+        "name": name,
+        "config": config,
+        "schema": df.schema.simpleString(),
+    }
+    with open(os.path.join(out_dir, f"{name}.manifest.json"), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return path
+
+
+def snapshot_valid(out_dir: str, name: str, config: dict) -> bool:
+    mf = os.path.join(out_dir, f"{name}.manifest.json")
+    if not os.path.exists(mf):
+        return False
+    with open(mf) as f:
+        manifest = json.load(f)
+    return manifest.get("config") == config
+
+
+def run_with_checkpoints(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    config: dict | None = None,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Resumable run: each stage materializes a snapshot; a restart reloads
+    completed stages (manifest + config fingerprint match) instead of
+    recomputing — the sandbox stand-in for Iceberg snapshot checkpoints."""
+    os.makedirs(out_dir, exist_ok=True)
+    config = dict(config or {}, version=1, salt=salt_partitions)
+
+    if snapshot_valid(out_dir, "featurized", config):
+        feat = spark.read.parquet(os.path.join(out_dir, "featurized"))
+    else:
+        feat = featurize(transcripts, salt_partitions)
+        write_snapshot(feat, out_dir, "featurized", config)
+        feat = spark.read.parquet(os.path.join(out_dir, "featurized"))
+
+    if snapshot_valid(out_dir, "labels", config):
+        labels = spark.read.parquet(os.path.join(out_dir, "labels"))
+    else:
+        decided = with_decision(with_prev_turn(with_mask_frequency(feat)))
+        labels = stable_order(decided)
+        write_snapshot(labels, out_dir, "labels", config)
+        labels = spark.read.parquet(os.path.join(out_dir, "labels"))
+
+    # metrics + lineage tables alongside the labels snapshot
+    metrics = (
+        labels.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+            F.approx_count_distinct("conv_id").alias("convs"),
+        )
+    )
+    write_snapshot(metrics, out_dir, "metrics", config)
+    lineage = (
+        labels.select(F.input_file_name().alias("file"))
+        .groupBy("file").agg(F.count("*").alias("rows"))
+    )
+    write_snapshot(lineage, out_dir, "lineage", config)
+    return labels

@@ -1,0 +1,126 @@
+"""Per-turn heuristic quality features + the keep/drop decision function.
+
+bytefreq's *reports* turned into *features* (SURVEY.md §7.2 step 4):
+
+* char-class counts / mask entropy — the HU mask's class distribution
+  (bytefreq's field-level freq report, per turn instead of per column);
+* rare-pattern ratio — this turn's LU mask frequency in the corpus-wide
+  mask-frequency dictionary (A1's output re-applied, J4);
+* char-class outliers — fraction of chars masking to ``_`` (the "weird" class).
+
+All functions are shared verbatim by the distributed pandas-UDF stages and the
+single-node reference pipeline, so agreement is structural.  Thresholds use
+integer cross-multiplication wherever possible (no float-boundary flakiness —
+SURVEY.md §7.5 risk 3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .masks import mask_series
+
+# Decision thresholds (frozen contract)
+MAX_CHARS = 20_000
+WEIRD_NUM, WEIRD_DEN = 1, 5          # drop if weird_count * 5 > n_chars  (>20%)
+DIGIT_NUM, DIGIT_DEN = 1, 2          # drop if digit_count * 2 > n_chars  (>50%)
+PPL_MAX = 30.0                       # Latin-script prose only
+RARE_PPM = 1_000                     # drop short turns whose LU mask freq < 0.1%
+RARE_MAX_CHARS = 20                  # rare-pattern rule applies only to short turns
+ENTROPY_MIN = 0.5                    # nats; boilerplate/repetition floor
+ENTROPY_MIN_CHARS = 20
+LATIN_LANGS = ("en", "fr", "de", "es")
+ALLOWED_LANGS = ("en", "fr", "de", "es", "zh", "ru", "el", "hi")
+LU_KEY_LEN = 64                      # mask-dictionary key = LU mask truncated
+
+# HU mask char classes for entropy: lower, upper, digit, space, other
+_CLASS_PATTERNS = ["a", "A", "9", " "]
+
+
+def text_features(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized per-turn features from the HU mask + raw text."""
+    t = texts.fillna("")
+    hu = mask_series(t, "HU")
+    lu = mask_series(t, "LU")
+
+    n_chars = t.str.len().to_numpy(np.int64)
+    # class chars are not regex-special, safe as literal patterns
+    counts = np.stack(
+        [hu.str.count(c).to_numpy(np.int64) for c in _CLASS_PATTERNS]
+    )
+    known = counts.sum(axis=0)
+    other = np.maximum(n_chars - known, 0)  # '_' + kept punctuation ",.-\""
+    weird = hu.str.count("_").to_numpy(np.int64)
+    digits = counts[2]
+
+    # class entropy (nats) over [a, A, 9, space, other]
+    full = np.vstack([counts, other[None, :]]).astype(np.float64)
+    total = np.maximum(full.sum(axis=0), 1.0)
+    p = full / total
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ent = -np.nansum(np.where(p > 0, p * np.log(p), 0.0), axis=0)
+
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_tokens": t.str.count(r"\S+").to_numpy(np.int64),
+            "digit_count": digits,
+            "weird_count": weird,
+            "mask_entropy": ent,
+            "lu_key": lu.str.slice(0, LU_KEY_LEN),
+        },
+        index=texts.index,
+    )
+
+
+def decide(
+    lang: pd.Series,
+    ppl: pd.Series,
+    n_chars: pd.Series,
+    digit_count: pd.Series,
+    weird_count: pd.Series,
+    mask_entropy: pd.Series,
+    lu_count: pd.Series,
+    lu_total: pd.Series,
+    is_dup: pd.Series,
+    role: pd.Series,
+) -> pd.DataFrame:
+    """Keep/drop + first-firing drop reason.  Vectorized; rule order frozen."""
+    n = n_chars.to_numpy(np.int64)
+    dc = digit_count.to_numpy(np.int64)
+    wc = weird_count.to_numpy(np.int64)
+    ent = mask_entropy.to_numpy(np.float64)
+    lc = lu_count.fillna(0).to_numpy(np.int64)
+    lt = lu_total.fillna(0).to_numpy(np.int64)
+    ppl_v = ppl.to_numpy(np.float64)
+    lang_v = lang.fillna("und").to_numpy(dtype=object)
+    role_v = role.fillna("").to_numpy(dtype=object)
+    dup_v = is_dup.fillna(False).to_numpy(dtype=bool)
+
+    reasons = np.full(len(n), "", dtype=object)
+
+    def fire(mask: np.ndarray, reason: str):
+        m = mask & (reasons == "")
+        reasons[m] = reason
+
+    fire(n == 0, "empty")
+    fire(n > MAX_CHARS, "too_long")
+    fire(~np.isin(lang_v.astype(str), ALLOWED_LANGS), "lang")
+    fire(wc * WEIRD_DEN > n * WEIRD_NUM, "weird_chars")
+    fire(dc * DIGIT_DEN > n * DIGIT_NUM, "digits")
+    is_latin = np.isin(lang_v.astype(str), LATIN_LANGS)
+    prose_role = np.isin(role_v.astype(str), ("user", "assistant"))
+    fire(is_latin & prose_role & (ppl_v > PPL_MAX), "perplexity")
+    fire(
+        (n < RARE_MAX_CHARS) & (lt > 0) & (lc * 1_000_000 < lt * RARE_PPM),
+        "rare_pattern",
+    )
+    fire((n >= ENTROPY_MIN_CHARS) & (ent < ENTROPY_MIN), "low_entropy")
+    fire(dup_v, "duplicate")
+
+    keep = reasons == ""
+    return pd.DataFrame(
+        {"keep": keep, "drop_reason": np.where(keep, None, reasons)},
+        index=n_chars.index,
+    )

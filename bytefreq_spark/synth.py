@@ -1,0 +1,160 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md §1).
+
+Schema: (conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp) — BASELINE.json ``input_hint``.  Generation is a pure function
+of (seed, conversation serial), so the corpus can be produced either
+driver-side (pandas, for tests) or distributed (spark.range over conv serials
+→ mapInPandas, for the bench at scale) with bit-identical results.
+
+Conversation lengths are Zipf-ish so skew handling is exercised; texts are a
+mixture engineered to hit every mask / rule / scrub / decision path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+
+_EN = ("the quick brown fox jumps over the lazy dog and it is a fine day to "
+       "review the report with you for this project that we have not shipped").split()
+_FR = ("le chat est sur la table et je ne sais pas pour quoi vous avez une "
+       "question dans la maison avec des amis qui sont pas la").split()
+_DE = ("der hund ist nicht in dem haus und ich habe eine frage mit der "
+       "antwort von den leuten auf die sie nicht warten").split()
+_ES = ("el perro está en la casa y no se por que usted tiene una pregunta "
+       "para los amigos con el libro del maestro").split()
+_ZH = list("数据质量分析引擎在大规模集群上运行每个会话的文本被打分")
+_RU = "данные качество анализ движок работает на большом кластере текст".split()
+_EL = "τα δεδομένα ποιότητα ανάλυση μηχανή τρέχει σε μεγάλο σύμπλεγμα".split()
+_HI = "डेटा गुणवत्ता विश्लेषण इंजन बड़े क्लस्टर पर चलता है".split()
+
+_BOILER = [
+    "Thank you for contacting support how can I help you today",
+    "Is there anything else I can do for you today",
+    "Please hold while I look into that for you",
+]
+_PII_TEMPLATES = [
+    "you can reach me at {email} or on {phone}",
+    "my card number is {card} and my postcode is {pc}",
+    "server at {ip} logged user {email}",
+    "call {phone} ref {pc}",
+]
+_TOOL_NAMES = ["search", "calculator", "browser", "sql", "code_exec"]
+
+_KINDS = [
+    ("en", 36), ("fr", 7), ("de", 7), ("es", 7), ("zh", 5), ("ru", 4),
+    ("el", 3), ("hi", 3), ("boiler", 6), ("dup", 5), ("gibberish", 6),
+    ("pii", 8), ("empty", 3), ("weird", 4), ("long", 2), ("digits", 3),
+    ("toxic", 1),
+]
+_KIND_NAMES = [k for k, _ in _KINDS]
+_KIND_P = np.array([w for _, w in _KINDS], dtype=np.float64)
+_KIND_P /= _KIND_P.sum()
+
+_WORDS = {"en": _EN, "fr": _FR, "de": _DE, "es": _ES, "zh": _ZH, "ru": _RU,
+          "el": _EL, "hi": _HI}
+
+
+def _sentence(rng: np.random.RandomState, lang: str, n: int) -> str:
+    pool = _WORDS[lang]
+    words = [pool[i] for i in rng.randint(0, len(pool), n)]
+    sep = "" if lang == "zh" else " "
+    return sep.join(words)
+
+
+def _gen_text(rng: np.random.RandomState, kind: str, prev: str) -> str:
+    if kind in _WORDS:
+        return _sentence(rng, kind, rng.randint(6, 40))
+    if kind == "boiler":
+        return _BOILER[rng.randint(0, len(_BOILER))]
+    if kind == "dup":
+        return prev if prev else _BOILER[0]
+    if kind == "gibberish":
+        chars = np.array(list("qxzjvkwfbghm1379!@#$%^&*~`|\\"), dtype=object)
+        return "".join(chars[rng.randint(0, len(chars), rng.randint(30, 120))])
+    if kind == "pii":
+        t = _PII_TEMPLATES[rng.randint(0, len(_PII_TEMPLATES))]
+        return t.format(
+            email=f"user{rng.randint(1, 999)}@example{rng.randint(1, 99)}.com",
+            phone=f"+{rng.randint(1, 99)} {rng.randint(100, 999)} {rng.randint(100000, 999999)}",
+            card=" ".join(str(rng.randint(1000, 9999)) for _ in range(4)),
+            pc=f"SW{rng.randint(1, 9)} {rng.randint(1, 9)}AA",
+            ip=".".join(str(rng.randint(1, 254)) for _ in range(4)),
+        )
+    if kind == "empty":
+        return ""
+    if kind == "weird":
+        weird = np.array(list("\x01\x02\x03\x7f€™£¥§¶†‡�"), dtype=object)
+        return "".join(weird[rng.randint(0, len(weird), rng.randint(10, 40))])
+    if kind == "long":
+        return _sentence(rng, "en", 4000)
+    if kind == "digits":
+        # carries an English marker so it passes langid and reaches the
+        # digit-fraction rule (rule order is a frozen contract)
+        nums = " ".join(str(rng.randint(10 ** 8, 10 ** 9)) for _ in range(rng.randint(4, 12)))
+        return f"the ids are {nums}"
+    if kind == "toxic":
+        return f"well that is just bullshit {_sentence(rng, 'en', 8)}"
+    return ""
+
+
+def gen_conversation(conv_serial: int, seed: int = SEED, skew_every: int = 997,
+                     skew_len: int = 1500) -> pd.DataFrame:
+    """All turns of one conversation — pure function of (seed, serial)."""
+    rng = np.random.RandomState((seed * 1_000_003 + conv_serial) % (2 ** 31))
+    # Zipf-ish length; every `skew_every`-th conversation is a whale (skew!)
+    if skew_every and conv_serial % skew_every == skew_every - 1:
+        n_turns = skew_len
+    else:
+        n_turns = int(min(1 + rng.zipf(1.5), 120))
+    conv_id = f"conv_{conv_serial:08d}"
+    base_ts = np.datetime64("2025-01-01T00:00:00") + np.timedelta64(
+        int(rng.randint(0, 180 * 24 * 3600)), "s"
+    )
+    rows = []
+    prev = ""
+    for t in range(n_turns):
+        if t == 0 and rng.rand() < 0.1:
+            role = "system"
+        else:
+            role = ["user", "assistant", "tool"][t % 3]
+        kind = _KIND_NAMES[rng.choice(len(_KIND_NAMES), p=_KIND_P)]
+        text = _gen_text(rng, kind, prev)
+        prev = text
+        tool = _TOOL_NAMES[rng.randint(0, len(_TOOL_NAMES))] if role == "tool" else None
+        ts = base_ts + np.timedelta64(t * int(rng.randint(1, 90)), "s")
+        rows.append((conv_id, t, role, text, tool, ts))
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def gen_transcripts_pandas(n_convs: int, seed: int = SEED, **kw) -> pd.DataFrame:
+    """Driver-side corpus (tests / reference pipeline input)."""
+    parts = [gen_conversation(i, seed, **kw) for i in range(n_convs)]
+    pdf = pd.concat(parts, ignore_index=True)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return pdf
+
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def gen_transcripts_spark(spark, n_convs: int, seed: int = SEED,
+                          partitions: int | None = None, **kw):
+    """Distributed corpus: spark.range(conv serials) → mapInPandas.
+    Bit-identical to the pandas generator for the same (seed, n_convs)."""
+    rng_kw = dict(kw)
+
+    def gen(batches):
+        for pdf in batches:
+            for serial in pdf["id"]:
+                out = gen_conversation(int(serial), seed, **rng_kw)
+                yield out
+
+    rng = spark.range(n_convs, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)

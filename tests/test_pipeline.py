@@ -1,0 +1,142 @@
+"""End-to-end quality-filter contract (BASELINE.md targets):
+
+* keep/drop F1 ≥ 0.99 vs the single-node reference pipeline (we target exact
+  agreement, F1 == 1.0);
+* byte-identical scrubbed text per turn;
+* stable (conv_id, turn_idx) output ordering;
+* invariance under different parallelism (determinism half of scaling check);
+* checkpoint resume reproduces the identical table.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bytefreq_spark.pipeline import quality_filter, run_with_checkpoints
+from bytefreq_spark.reference import run_reference
+from bytefreq_spark.synth import gen_transcripts_pandas, gen_transcripts_spark
+
+N_CONVS = 400  # ≈ several thousand turns incl. one skewed whale (serial 399? no: 997-1 not hit; use skew_every=200)
+SKEW = dict(skew_every=200, skew_len=400)
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return gen_transcripts_pandas(N_CONVS, **SKEW)
+
+
+@pytest.fixture(scope="module")
+def reference_labels(corpus_pdf):
+    return run_reference(corpus_pdf)
+
+
+@pytest.fixture(scope="module")
+def spark_labels(spark, corpus_pdf):
+    df = spark.createDataFrame(corpus_pdf)
+    return quality_filter(df, salt_partitions=16).toPandas()
+
+
+def test_generator_parity(spark, corpus_pdf):
+    """Distributed generator ≡ driver-side generator (same seed)."""
+    sdf = gen_transcripts_spark(spark, 50, **SKEW).toPandas()
+    pdf = gen_transcripts_pandas(50, **SKEW)
+    key = ["conv_id", "turn_idx"]
+    a = sdf.sort_values(key).reset_index(drop=True)
+    b = pdf.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[pdf.columns], b, check_dtype=False)
+
+
+def test_skew_exercised(corpus_pdf):
+    sizes = corpus_pdf.groupby("conv_id").size()
+    assert sizes.max() >= 400  # whale conversation present
+    assert sizes.median() <= 10
+
+
+def test_keep_f1_and_reasons(reference_labels, spark_labels):
+    key = ["conv_id", "turn_idx"]
+    ref = reference_labels.set_index(key).sort_index()
+    got = spark_labels.set_index(key).sort_index()
+    assert len(ref) == len(got)
+    merged = ref[["keep", "drop_reason"]].join(
+        got[["keep", "drop_reason"]], lsuffix="_ref", rsuffix="_got"
+    )
+    tp = ((merged.keep_ref) & (merged.keep_got)).sum()
+    fp = ((~merged.keep_ref) & (merged.keep_got)).sum()
+    fn = ((merged.keep_ref) & (~merged.keep_got)).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"F1={f1}"
+    # we hold ourselves to exact agreement, reasons included
+    assert (merged.keep_ref == merged.keep_got).all()
+    assert (
+        merged.drop_reason_ref.fillna("") == merged.drop_reason_got.fillna("")
+    ).all()
+
+
+def test_scrubbed_text_byte_identical(reference_labels, spark_labels):
+    key = ["conv_id", "turn_idx"]
+    ref = reference_labels.set_index(key)["scrubbed_text"].sort_index()
+    got = spark_labels.set_index(key)["scrubbed_text"].sort_index()
+    assert (ref.fillna("") == got.fillna("")).all()
+
+
+def test_scrub_actually_fires(reference_labels):
+    st = reference_labels["scrubbed_text"].str.cat(sep="\n")
+    for tok in ("<EMAIL>", "<CARD>", "<PHONE>", "<IP>", "<TOX>"):
+        assert tok in st, tok
+    raw = reference_labels["text"].str.cat(sep="\n")
+    assert "@example" in raw  # generator produced PII
+    assert "@example" not in st  # scrubber removed it
+
+
+def test_stable_output_ordering(spark, corpus_pdf):
+    df = spark.createDataFrame(corpus_pdf)
+    out = quality_filter(df, salt_partitions=16)
+    pdf = out.select("conv_id", "turn_idx").toPandas()
+    # collect preserves partition order; repartitionByRange+sortWithinPartitions
+    # must yield globally sorted (conv_id, turn_idx)
+    sorted_pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pdf.reset_index(drop=True), sorted_pdf)
+
+
+def test_parallelism_invariance(spark, corpus_pdf, spark_labels):
+    """Same labels under a different salt/partitioning (scaling determinism)."""
+    df = spark.createDataFrame(corpus_pdf).repartition(3)
+    other = quality_filter(df, salt_partitions=5).toPandas()
+    key = ["conv_id", "turn_idx"]
+    a = spark_labels.set_index(key)[["keep", "scrubbed_text"]].sort_index()
+    b = other.set_index(key)[["keep", "scrubbed_text"]].sort_index()
+    assert (a["keep"] == b["keep"]).all()
+    assert (a["scrubbed_text"].fillna("") == b["scrubbed_text"].fillna("")).all()
+
+
+def test_checkpoint_resume(spark, corpus_pdf, reference_labels):
+    tmp = tempfile.mkdtemp(prefix="bfq_ckpt_")
+    try:
+        df = spark.createDataFrame(corpus_pdf)
+        first = run_with_checkpoints(spark, df, tmp, salt_partitions=8).toPandas()
+        # resume: same config → featurized+labels snapshots reused
+        second = run_with_checkpoints(spark, df, tmp, salt_partitions=8).toPandas()
+        key = ["conv_id", "turn_idx"]
+        a = first.set_index(key).sort_index()
+        b = second.set_index(key).sort_index()
+        assert (a["keep"] == b["keep"]).all()
+        assert (a["scrubbed_text"].fillna("") == b["scrubbed_text"].fillna("")).all()
+        # and the checkpointed run matches the reference labels too
+        ref = reference_labels.set_index(key).sort_index()
+        assert (a["keep"] == ref["keep"]).all()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_drop_reason_distribution(reference_labels):
+    """The synthetic mixture must exercise every decision path."""
+    reasons = set(reference_labels["drop_reason"].dropna().unique())
+    for expected in ("empty", "lang", "weird_chars", "digits", "duplicate"):
+        assert expected in reasons, (expected, reasons)
+    keep_rate = reference_labels["keep"].mean()
+    assert 0.3 < keep_rate < 0.9, keep_rate

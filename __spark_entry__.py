@@ -1,38 +1,492 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline operators); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one.  Column names are
+aligned pair-by-pair (the driver hash-compares after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bytefreq_spark.masks import duckdb_mask_sql, mask_col  # noqa: E402
+from bytefreq_spark.profile import (  # noqa: E402
+    char_histogram,
+    dq_report,
+    mask_frequency,
+)
+from bytefreq_spark.rules import enhanced  # noqa: E402
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# bytefreq profiling core (SURVEY.md §2.2/2.3/2.5: M1-M4, A1-A2, O1-O2, R1)
+# ---------------------------------------------------------------------------
+
+
+def q_mask_freq_lu(spark, sf_dir):
+    return (
+        mask_frequency(_read(spark, sf_dir, "orders"), ["o_orderpriority"], "LU")
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+def q_mask_freq_hu_props(spark, sf_dir):
+    return (
+        mask_frequency(_read(spark, sf_dir, "events"), ["props"], "HU")
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+def q_mask_freq_h_mktsegment(spark, sf_dir):
+    return (
+        mask_frequency(_read(spark, sf_dir, "customer"), ["c_mktsegment"], "H")
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+def q_dq_rank_top3(spark, sf_dir):
+    return (
+        dq_report(_read(spark, sf_dir, "customer"),
+                  ["c_name", "c_mktsegment"], "LU", top_k=3)
+        .withColumnRenamed("count", "cnt")
+        .select("column", "pattern", "cnt", "example", "col_idx", "rank")
+    )
+
+
+def q_char_histogram(spark, sf_dir):
+    return char_histogram(_read(spark, sf_dir, "events"), "event_type").withColumnRenamed(
+        "count", "cnt"
+    )
+
+
+def q_field_count_hist(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.size(F.split(F.trim(F.col("text")), "\\s+")).alias("n_fields")
+        )
+        .groupBy("n_fields")
+        .agg(F.count("*").alias("rows"))
+        .orderBy("n_fields")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rules engine (SURVEY.md §2.7: F1-F8)
+# ---------------------------------------------------------------------------
+
+
+def q_rules_numeric(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    v = cust.select(
+        F.round(F.col("c_acctbal") * 100).cast("bigint").cast("string").alias("acct_cents")
+    )
+    e = enhanced(v, ["acct_cents"])
+    return e.select(
+        F.col("acct_cents.raw").alias("raw"),
+        F.col("acct_cents.LU").alias("lu"),
+        F.col("acct_cents.Rules.string_length").alias("len_chars"),
+        F.col("acct_cents.Rules.is_numeric").alias("is_num"),
+    )
+
+
+def q_rules_dates(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    v = orders.select(
+        F.date_format("o_orderdate", "d/M/yyyy").alias("somedate")
+    )
+    e = enhanced(v, ["somedate"])
+    return e.select(
+        F.col("somedate.raw").alias("raw"),
+        F.col("somedate.Rules.std_date").alias("std_date"),
+    )
+
+
+def q_rules_unix_ts(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    v = ev.select(F.unix_timestamp("ts").cast("string").alias("created_ts"))
+    e = enhanced(v, ["created_ts"])
+    return e.select(
+        F.col("created_ts.raw").alias("raw"),
+        F.col("created_ts.Rules.is_unix_timestamp").alias("ts_unit"),
+        F.col("created_ts.Rules.std_date").alias("std_date"),
+        F.col("created_ts.Rules.std_datetime").alias("std_datetime"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (scan → filter → join → agg → window → sort/limit)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2025-06-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_revenue_by_segment(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_top_orders_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_summary(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count_distinct(F.md5("text")).alias("n_distinct"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_near_dup_truth_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("t_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("t_b"))
+    return (
+        a.join(b, F.col("t_a") == F.concat(F.col("t_b"), F.lit(" dup")))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text") / F.greatest(n_tokens, F.lit(1)), 4).alias("avg_token_len"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    from bytefreq_spark.textstats import quality_score_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score_col("text").alias("q"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from bytefreq_spark.textstats import fingerprint_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col("text").alias("fp"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    from bytefreq_spark.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.orderBy("vec_id").first()["embedding"]
+    return cosine_topk(emb, list(qvec), k=10)
+
+
+# -- non-SQL-expressible (rows-only checks) ---------------------------------
+
+
+def q_langid_docs(spark, sf_dir):
+    from bytefreq_spark.textstats import with_langid
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_langid(docs).select("doc_id", "lang", "lang_pred")
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    from bytefreq_spark.dedup import minhash_near_dups
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_simhash_groups(spark, sf_dir):
+    from bytefreq_spark.dedup import simhash_groups
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text").limit(100)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 1000000)
+    return simhash_groups(base.union(dup)).select("simhash", "n", "ids")
+
+
+def q_quality_filter_transcripts(spark, sf_dir):
+    from bytefreq_spark.pipeline import quality_filter
+    from bytefreq_spark.synth import gen_transcripts_spark
+
+    tr = gen_transcripts_spark(spark, 120, skew_every=50, skew_len=300)
+    out = quality_filter(tr, salt_partitions=8)
+    return out.select(
+        "conv_id", "turn_idx", "role", "lang", "keep", "drop_reason", "scrubbed_text"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    from bytefreq_spark.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=48)
+    return extract_features(media)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from bytefreq_spark.similarity import ann_lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.orderBy("vec_id").first()["embedding"]
+    return ann_lsh_topk(emb, list(qvec), k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full DQ pattern profile of the events table at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _read(spark, sf_dir, "events")
+    return dq_report(ev, ["event_type", "props", "value"], "LU", top_k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "mask_freq_lu": q_mask_freq_lu,
+        "mask_freq_hu_props": q_mask_freq_hu_props,
+        "mask_freq_h_mktsegment": q_mask_freq_h_mktsegment,
+        "dq_rank_top3": q_dq_rank_top3,
+        "char_histogram": q_char_histogram,
+        "field_count_hist": q_field_count_hist,
+        "rules_numeric": q_rules_numeric,
+        "rules_dates": q_rules_dates,
+        "rules_unix_ts": q_rules_unix_ts,
+        "q1_pricing": q_q1_pricing,
+        "revenue_by_segment": q_revenue_by_segment,
+        "top_orders_window": q_top_orders_window,
+        "dedup_exact_summary": q_dedup_exact_summary,
+        "near_dup_truth_pairs": q_near_dup_truth_pairs,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        # rows-only (no SQL equivalent)
+        "langid_docs": q_langid_docs,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_groups": q_simhash_groups,
+        "quality_filter_transcripts": q_quality_filter_transcripts,
+        "multimodal_features": q_multimodal_features,
+        "ann_lsh": q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lu_op = duckdb_mask_sql("o_orderpriority", "LU")
+    hu_props = duckdb_mask_sql("props", "HU")
+    h_seg = duckdb_mask_sql("c_mktsegment", "H")
+    lu_name = duckdb_mask_sql("c_name", "LU")
+    lu_seg = duckdb_mask_sql("c_mktsegment", "LU")
+    lu_cents = duckdb_mask_sql("raw", "LU")
+    return {
+        "mask_freq_lu": f"""
+            SELECT 'o_orderpriority' AS "column", {lu_op} AS pattern,
+                   count(*) AS cnt, min(o_orderpriority) AS example
+            FROM orders GROUP BY 1, 2
+        """,
+        "mask_freq_hu_props": f"""
+            SELECT 'props' AS "column", {hu_props} AS pattern,
+                   count(*) AS cnt, min(props) AS example
+            FROM events GROUP BY 1, 2
+        """,
+        "mask_freq_h_mktsegment": f"""
+            SELECT 'c_mktsegment' AS "column", {h_seg} AS pattern,
+                   count(*) AS cnt, min(c_mktsegment) AS example
+            FROM customer GROUP BY 1, 2
+        """,
+        "dq_rank_top3": f"""
+            WITH m AS (
+              SELECT 'c_name' AS "column", {lu_name} AS pattern, c_name AS raw,
+                     0 AS col_idx FROM customer
+              UNION ALL
+              SELECT 'c_mktsegment', {lu_seg}, c_mktsegment, 1 FROM customer
+            ), f AS (
+              SELECT "column", pattern, col_idx, count(*) AS cnt,
+                     min(raw) AS example
+              FROM m GROUP BY 1, 2, 3
+            )
+            SELECT "column", pattern, cnt, example, col_idx,
+                   row_number() OVER (PARTITION BY "column"
+                                      ORDER BY cnt DESC, pattern ASC) AS rank
+            FROM f QUALIFY rank <= 3
+        """,
+        "char_histogram": """
+            SELECT c AS char, unicode(c) AS codepoint, count(*) AS cnt
+            FROM (SELECT unnest(string_split(event_type, '')) AS c FROM events)
+            WHERE c <> '' GROUP BY 1, 2
+        """,
+        "field_count_hist": r"""
+            SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_fields,
+                   count(*) AS rows
+            FROM documents GROUP BY 1
+        """,
+        "rules_numeric": f"""
+            WITH v AS (
+              SELECT CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS raw
+              FROM customer
+            )
+            SELECT raw, {lu_cents} AS lu, length(raw) AS len_chars,
+                   CASE WHEN {lu_cents} IN ('9', '9.9')
+                        THEN (try_cast(raw AS DOUBLE) IS NOT NULL)
+                        ELSE NULL END AS is_num
+            FROM v
+        """,
+        "rules_dates": """
+            SELECT strftime(o_orderdate, '%-d/%-m/%Y') AS raw,
+                   strftime(o_orderdate, '%Y-%m-%d') AS std_date
+            FROM orders
+        """,
+        "rules_unix_ts": """
+            WITH v AS (
+              SELECT CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) AS raw,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS secs
+              FROM events
+            )
+            SELECT raw,
+                   CASE WHEN length(raw) = 10 AND secs BETWEEN 946684800 AND 4102444800
+                        THEN 'seconds' ELSE NULL END AS ts_unit,
+                   CASE WHEN length(raw) = 10 AND secs BETWEEN 946684800 AND 4102444800
+                        THEN strftime(to_timestamp(secs), '%Y-%m-%d') ELSE NULL END AS std_date,
+                   CASE WHEN length(raw) = 10 AND secs BETWEEN 946684800 AND 4102444800
+                        THEN strftime(to_timestamp(secs), '%Y-%m-%d %H:%M:%S') || ' UTC'
+                        ELSE NULL END AS std_datetime
+            FROM v
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2025-06-01 00:00:00'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "revenue_by_segment": """
+            SELECT c_mktsegment,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "top_orders_window": """
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders QUALIFY rn <= 3
+        """,
+        "dedup_exact_summary": """
+            SELECT count(DISTINCT md5(text)) AS n_distinct, count(*) AS n_rows
+            FROM documents
+        """,
+        "near_dup_truth_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b ON a.text = b.text || ' dup'
+            ORDER BY 1, 2
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   round(length(text) / greatest(
+                       len(regexp_split_to_array(trim(text), '\s+')), 1), 4)
+                       AS avg_token_len
+            FROM documents
+        """,
+        "quality_score": r"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     len(regexp_extract_all(lower(text),
+                         '\b(?:the|a|and|of|to|is|in|it|you|that)\b')) AS stop_hits,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+              FROM documents
+            )
+            SELECT doc_id, round(
+              (CASE WHEN n_chars BETWEEN 20 AND 5000 THEN 1.0
+                    WHEN n_chars < 20 THEN n_chars / 20.0 ELSE 0.5 END) * 0.4
+              + least(stop_hits * 8.0 / greatest(n_tokens, 1), 1.0) * 0.4
+              + (1.0 - least(digits * 2.0 / greatest(n_chars, 1), 1.0)) * 0.2, 6) AS q
+            FROM s
+        """,
+        "fingerprint": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   list_aggregate(
+                     list_transform(range(0, greatest(len(toks) - 4, 0) + 1),
+                       i -> md5(array_to_string(toks[i + 1 : i + 4], ' '))),
+                     'min') AS fp
+            FROM t
+        """,
+        "cosine_topk": """
+            WITH q AS (
+              SELECT embedding FROM embeddings
+              WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+    }

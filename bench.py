@@ -1,0 +1,161 @@
+"""Bench harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+``--scaling`` additionally runs the flagship quality-filter job at two
+parallelism levels (local[8] vs local[32]) on identical input and reports
+throughput + scaling efficiency into BENCH/BASELINE.md (the sandbox evidence
+for the north rule's two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+
+    from bytefreq_spark.dedup import minhash_near_dups
+    from bytefreq_spark.pipeline import quality_filter
+    from bytefreq_spark.profile import char_histogram, dq_report
+    from bytefreq_spark.synth import gen_transcripts_spark
+
+    timings: dict[str, float] = {}
+
+    def run(name, thunk):
+        t0 = time.time()
+        thunk()
+        timings[name] = round(time.time() - t0, 3)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    run("profile_events_lu", lambda: _materialize(
+        dq_report(ev, ["event_type", "props", "value"], "LU")))
+    run("profile_documents_hu", lambda: _materialize(
+        dq_report(docs, ["text", "lang", "source"], "HU")))
+    run("char_histogram", lambda: _materialize(char_histogram(docs, "text")))
+    run("q1_pricing", lambda: _materialize(entry.q_q1_pricing(spark, sf_dir)))
+    run("revenue_join", lambda: _materialize(entry.q_revenue_by_segment(spark, sf_dir)))
+    run("window_topk", lambda: _materialize(entry.q_top_orders_window(spark, sf_dir)))
+    run("minhash_near_dups", lambda: _materialize(
+        minhash_near_dups(docs, threshold=0.5)))
+    run("token_stats", lambda: _materialize(entry.q_token_stats(spark, sf_dir)))
+
+    # flagship: quality filter over synthetic transcripts scaled to the SF
+    sf = _sf_from_dir(sf_dir)
+    n_convs = max(int(sf * 20000), 200)  # sf0.1 → 2000 convs ≈ 17k turns + whales
+    tr = gen_transcripts_spark(spark, n_convs).cache()
+    n_turns = tr.count()
+    t0 = time.time()
+    _materialize(quality_filter(tr, salt_partitions=CPUS * 2))
+    dt = time.time() - t0
+    timings["quality_filter"] = round(dt, 3)
+    timings["_turns"] = n_turns
+    timings["_turns_per_sec"] = round(n_turns / dt, 1)
+    tr.unpersist()
+    return timings
+
+
+def run_bench() -> dict:
+    from bytefreq_spark.session import get_spark
+
+    spark = get_spark("bytefreq-bench", cores=CPUS, shuffle_partitions=max(CPUS, 16))
+    t0 = time.time()
+    timings = bench_queries(spark, SF_DIR)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+    queries = {k: v for k, v in timings.items() if not k.startswith("_")}
+    return {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": CPUS,
+        "turns": timings.get("_turns"),
+        "turns_per_sec": timings.get("_turns_per_sec"),
+    }
+
+
+def run_scaling() -> dict:
+    """Same quality-filter job at local[8] vs local[32] on identical input."""
+    from bytefreq_spark.pipeline import quality_filter
+    from bytefreq_spark.session import get_spark
+    from bytefreq_spark.synth import gen_transcripts_spark
+
+    sf = _sf_from_dir(SF_DIR)
+    n_convs = max(int(sf * 20000), 200)
+    results = {}
+    for cores in (8, 32):
+        spark = get_spark(f"bytefreq-scaling-{cores}", cores=cores,
+                          shuffle_partitions=max(cores, 8))
+        tr = gen_transcripts_spark(spark, n_convs, partitions=cores * 2).cache()
+        n_turns = tr.count()
+        # warm-up (JIT, Arrow init) then measured run
+        _materialize(quality_filter(tr, salt_partitions=cores * 2))
+        t0 = time.time()
+        _materialize(quality_filter(tr, salt_partitions=cores * 2))
+        dt = time.time() - t0
+        results[cores] = {
+            "wall_sec": round(dt, 3),
+            "turns": n_turns,
+            "turns_per_sec": round(n_turns / dt, 1),
+        }
+        spark.stop()
+    speedup = results[8]["wall_sec"] / results[32]["wall_sec"]
+    efficiency = round(speedup / 4.0, 3)
+    out = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": efficiency,
+        "unit": "fraction",
+        "n8": results[8],
+        "n32": results[32],
+        "speedup": round(speedup, 3),
+        "sf": sf,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — scaling evidence (sandbox two-parallelism run)\n\n"
+            "Same quality-filter job, identical input, two parallelism levels\n"
+            "(no real cluster in sandbox; this evidences the north rule's\n"
+            "N-vs-4N criterion).\n\n"
+            "| parallelism | turns | wall sec | turns/sec |\n|---|---|---|---|\n"
+            f"| local[8] | {results[8]['turns']} | {results[8]['wall_sec']} | {results[8]['turns_per_sec']} |\n"
+            f"| local[32] | {results[32]['turns']} | {results[32]['wall_sec']} | {results[32]['turns_per_sec']} |\n\n"
+            f"Speedup 8→32: **{round(speedup, 3)}×**; scaling efficiency "
+            f"(speedup/4): **{efficiency}** (target ≥ 0.8).\n\n"
+            f"Reference single-node AWK baseline (BASELINE.md): 23.1k rows/s ≈ "
+            f"1.27M field-values/s on one core.\n"
+        )
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,253 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+* exact — hash-groupBy on content digest (md5: same algorithm in Spark and
+  DuckDB → oracle-able).
+* minhash_lsh — shingle → minhash signature (vectorized numpy in a pandas
+  UDF) → banding → bucket self-join on band hash → candidate pairs →
+  signature-similarity filter.  The scale path: no O(n²) anywhere; the only
+  shuffles are the band-bucket aggregation and the pair join.
+* simhash — 64-bit token-hash simhash; near-dups = identical simhash
+  (or small hamming distance among bucket candidates).
+* ngram_jaccard — exact Jaccard over token n-gram sets with native array ops
+  (array_intersect/array_union stay JVM-side); applied to candidate pairs,
+  never all pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (digest, n_dups, keep_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of every exact-duplicate class."""
+    w = df.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("digest")
+    )
+    keep = w.groupBy("digest").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "leftsemi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_udf(n_hashes: int = 64, shingle: int = 5, seed: int = 42):
+    """pandas UDF: text → array<long> minhash signature.
+
+    Shingles are character k-grams hashed with a polynomial rolling hash
+    (vectorized via cumulative powers); the permutation family is the
+    standard (a·x + b) mod p universal family.
+    """
+    a_params, b_params = _hash_params(n_hashes, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        base = np.int64(1099511628211)
+        out = []
+        for t in texts.fillna(""):
+            n = len(t)
+            if n < shingle:
+                codes = np.frombuffer((t or "\x00").encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+                sh = np.array([np.sum(codes) % _MERSENNE], dtype=np.int64)
+            else:
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+                # rolling polynomial hash over windows of length `shingle`
+                win = np.lib.stride_tricks.sliding_window_view(codes, shingle)
+                pows = np.power(base, np.arange(shingle, dtype=np.int64),
+                                dtype=np.int64)  # wraps mod 2^64: fine, deterministic
+                sh = (win * pows).sum(axis=1)
+                sh = np.unique(sh)
+            # (a*x+b) mod p for all hash functions × shingles, take min
+            x = sh[None, :].astype(np.uint64)
+            av = a_params[:, None].astype(np.uint64)
+            bv = b_params[:, None].astype(np.uint64)
+            hv = (av * x + bv) % np.uint64(_MERSENNE)
+            out.append(hv.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 64, shingle: int = 5, seed: int = 42,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        minhash_udf(n_hashes, shingle, seed)(F.col(text_col)).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id",
+    bands: int = 16, rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs (a < b).
+
+    Scale analysis: the exploded band table is n·bands rows; the self-join is
+    per (band, band_hash) bucket — genuinely similar docs collide, everything
+    else distributes.  A hot bucket (boilerplate) is bounded by
+    ``spark.sql.adaptive.skewJoin`` at runtime.
+    """
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_similarity(
+    pairs: DataFrame, signatures: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing minhash components."""
+    sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return joined.select(
+        "id_a", "id_b",
+        (agree / F.size("sig_a")).alias("est_jaccard"),
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 64, shingle: int = 5, seed: int = 42,
+    bands: int = 16, threshold: float = 0.6,
+) -> DataFrame:
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle, seed)
+    sigs.cache()
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, n_hashes // bands)
+    sim = minhash_similarity(pairs, sigs, id_col)
+    return sim.filter(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_col(text_col: str) -> F.Column:
+    """64-bit simhash from whitespace tokens, entirely native (no UDF):
+    per-token xxhash64 → per-bit ±1 votes → sign bits.
+
+    Bit b of the simhash = 1 iff Σ_tokens sign(bit b of xxhash64(token)) > 0.
+    Implemented with aggregate() over the token array per row.
+    """
+    n_bits = 64
+    tokens = F.array_distinct(F.split(F.col(text_col), "\\s+"))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def bit_vote(acc, h):
+        # acc: array<int> of vote counters; add ±1 per bit of h.
+        # Bit positions are Python ints (shiftright requires literal counts).
+        bits = F.array(*[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for b in range(n_bits)
+        ])
+        return F.zip_with(acc, bits, lambda a, v: a + v)
+
+    votes = F.aggregate(hashes, F.array_repeat(F.lit(0), n_bits), bit_vote)
+    # fold sign bits into a long (bit 63 is the sign bit of int64)
+    out = F.lit(0).cast("long")
+    for b in range(n_bits):
+        weight = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        out = out.bitwiseOR(F.when(votes[b] > 0, weight).otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def simhash_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical simhash (strong near-dup signal)."""
+    h = df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+    return (
+        h.groupBy("simhash")
+        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, on candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def token_ngrams(text_col: str, n: int = 3) -> F.Column:
+    toks = F.split(F.col(text_col), "\\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def ngram_jaccard(
+    pairs: DataFrame, df: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs — native array ops only."""
+    grams = df.select(F.col(id_col), token_ngrams(text_col, n).alias("grams"))
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    j = pairs.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return j.select(
+        "id_a", "id_b",
+        (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+    )

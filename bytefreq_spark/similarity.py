@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the correctness baseline: native
+  ``zip_with``/``aggregate`` dot products (JVM-side, no UDF), full scan +
+  ``orderBy desc limit k`` (Spark plans TakeOrderedAndProject — no global
+  sort materialization).
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures
+  (deterministic planes from a seed) → candidates share a bucket → exact
+  rescoring only within buckets.  At 100 TB the full scan per query dies;
+  bucketing bounds each query to a partition-pruned slice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_sim_col(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_sim_col(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def pairwise_topk(
+    df: DataFrame, probe_ids: list[int], k: int = 5,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k neighbors for a small probe set: broadcast the probes, one scan."""
+    probes = df.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    joined = df.crossJoin(F.broadcast(probes)).filter(
+        F.col(id_col) != F.col("probe_id")
+    )
+    scored = joined.select(
+        "probe_id", F.col(id_col),
+        F.round(cosine_sim_col(F.col(vec_col), F.col("probe_vec")), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def hyperplane_signature_col(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Sign-bit signature of a vector against fixed random hyperplanes —
+    native expressions (each plane = a literal array; dot product via
+    zip_with).  ``planes``: (n_planes, dim) from a seeded RNG."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(_dot(F.col(vec_col), lit) >= 0,
+                   F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def ann_lsh_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    n_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """ANN: restrict the exact rescoring to vectors in the query's bucket.
+
+    With B buckets this scans ~n/2^B candidates; recall is tunable via
+    n_planes (fewer planes → bigger buckets → higher recall).  Multi-probe
+    (flipping low-margin bits) is the standard recall extension — here we
+    probe the exact bucket plus all buckets at hamming distance 1.
+    """
+    planes = make_planes(len(query_vec), n_planes, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(np.asarray(query_vec, dtype=np.float64), p)) >= 0:
+            qsig |= 1 << i
+    probe_sigs = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
+
+    with_sig = df.withColumn("_sig", hyperplane_signature_col(vec_col, planes))
+    cands = with_sig.filter(F.col("_sig").isin(probe_sigs))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = cands.select(
+        F.col(id_col),
+        F.round(cosine_sim_col(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

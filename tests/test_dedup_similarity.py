@@ -1,0 +1,197 @@
+"""Dedup + similarity + textstats + multimodal operators on driver testdata.
+
+The driver's documents table plants near-duplicates: ~5% of docs are another
+doc's text plus a trailing " dup" token — MinHash/Jaccard must find them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bytefreq_spark.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash_groups,
+)
+from bytefreq_spark.multimodal import extract_features, media_metadata_summary, synth_media
+from bytefreq_spark.similarity import ann_lsh_topk, cosine_topk, pairwise_topk
+from bytefreq_spark.textstats import (
+    fingerprint_col,
+    quality_score_col,
+    with_langid,
+    with_token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    base = docs.select("doc_id", "text")
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = base.union(dup)
+    groups = exact_dup_groups(both)
+    assert groups.count() == base.count()
+    kept = dedup_exact(both)
+    assert kept.count() == base.count()
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 100000  # min-id kept
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    planted = docs.filter(F.col("text").endswith(" dup")).count()
+    assert planted > 0
+    near = minhash_near_dups(docs, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in near}
+    # verify against ground truth: doc whose text == other + " dup"
+    truth = (
+        docs.alias("a")
+        .join(
+            docs.alias("b"),
+            F.col("a.text") == F.concat(F.col("b.text"), F.lit(" dup")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("x"),
+            F.greatest("a.doc_id", "b.doc_id").alias("y"),
+        )
+        .collect()
+    )
+    truth_pairs = {(r["x"], r["y"]) for r in truth}
+    assert truth_pairs, "planted near-dups missing from fixture"
+    found = len(truth_pairs & pairs)
+    recall = found / len(truth_pairs)
+    assert recall >= 0.8, (recall, len(truth_pairs), len(pairs))
+
+
+def test_minhash_signature_deterministic(docs):
+    s1 = {r["doc_id"]: tuple(r["signature"]) for r in
+          minhash_signatures(docs.limit(20)).collect()}
+    s2 = {r["doc_id"]: tuple(r["signature"]) for r in
+          minhash_signatures(docs.limit(20).repartition(7)).collect()}
+    assert s1 == s2
+
+
+def test_ngram_jaccard_on_candidates(spark, docs):
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    jac = ngram_jaccard(pairs, docs).filter(F.col("jaccard") >= 0.5)
+    # every planted pair has very high token-ngram overlap
+    assert jac.count() >= 1
+    top = jac.orderBy(F.desc("jaccard")).first()
+    assert top["jaccard"] > 0.8
+
+
+def test_simhash_exact_and_near_dups(spark, docs):
+    from bytefreq_spark.dedup import simhash_col
+
+    base = docs.select("doc_id", "text").limit(50)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = base.union(dup)
+    groups = simhash_groups(both)
+    # every (id, id+100000) identical-text pair must share a group; distinct
+    # docs from a small vocab MAY also collide (that's simhash working), so
+    # assert pair-co-membership rather than group count
+    rows = groups.collect()
+    member = {}
+    for r in rows:
+        for i in r["ids"]:
+            member[i] = r["simhash"]
+    paired = sum(
+        1 for r in base.collect()
+        if member.get(r["doc_id"]) is not None
+        and member.get(r["doc_id"]) == member.get(r["doc_id"] + 100000)
+    )
+    assert paired == 50
+
+    # planted near-dups (text + " dup") land within small hamming distance
+    h = docs.select("doc_id", "text", simhash_col("text").alias("sh"))
+    pairs = (
+        h.alias("a")
+        .join(h.alias("b"),
+              F.col("a.text") == F.concat(F.col("b.text"), F.lit(" dup")))
+        .select(F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("d"))
+        .collect()
+    )
+    assert pairs
+    close = sum(1 for r in pairs if r["d"] <= 16) / len(pairs)
+    assert close >= 0.8, close
+
+
+def test_cosine_topk(spark, emb):
+    qrow = emb.orderBy("vec_id").first()
+    q = list(qrow["embedding"])
+    top = cosine_topk(emb, q, k=5).collect()
+    assert len(top) == 5
+    assert top[0]["vec_id"] == qrow["vec_id"]  # self is nearest
+    assert abs(top[0]["cosine"] - 1.0) < 1e-4
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_vs_brute_force(spark, emb):
+    qrow = emb.orderBy("vec_id").first()
+    q = list(qrow["embedding"])
+    brute = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    ann = [r["vec_id"] for r in ann_lsh_topk(emb, q, k=10, n_planes=6).collect()]
+    overlap = len(set(brute) & set(ann)) / 10
+    assert overlap >= 0.5, (overlap, brute, ann)  # recall with 1-probe LSH
+
+
+def test_pairwise_topk(spark, emb):
+    probes = [r["vec_id"] for r in emb.orderBy("vec_id").limit(2).collect()]
+    out = pairwise_topk(emb, probes, k=3).collect()
+    assert len(out) == 6
+    assert all(r["rank"] <= 3 for r in out)
+
+
+def test_token_stats_and_quality(spark, docs):
+    out = with_token_stats(docs).withColumn("q", quality_score_col("text"))
+    row = out.filter(F.length("text") > 50).first()
+    assert row["n_tokens"] > 0
+    assert 0.0 <= row["q"] <= 1.0
+    # n_chars matches the table's own n_chars column
+    bad = out.filter(F.col("n_chars_calc") != F.col("n_chars")).count()
+    assert bad == 0
+
+
+def test_fingerprint_stable_and_discriminative(spark, docs):
+    fp = docs.select("doc_id", fingerprint_col("text").alias("fp"))
+    n = fp.count()
+    distinct = fp.select("fp").distinct().count()
+    assert distinct > n * 0.8  # discriminative on distinct texts
+    again = docs.repartition(5).select("doc_id", fingerprint_col("text").alias("fp"))
+    assert sorted(map(tuple, fp.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_langid_documents(spark, docs):
+    out = with_langid(docs)
+    # docs are ASCII word-salad; English docs should mostly be detected 'en'
+    en = out.filter(F.col("lang") == "en")
+    agree = en.filter(F.col("lang_pred") == "en").count() / max(en.count(), 1)
+    assert agree > 0.9, agree
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, n=30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == 16 for r in rows)
+    # deterministic across partitionings
+    again = extract_features(media.repartition(4)).collect()
+    a = {r["media_id"]: r["features"] for r in rows}
+    b = {r["media_id"]: r["features"] for r in again}
+    assert a == b
+    summary = media_metadata_summary(media).collect()
+    assert {r["kind"] for r in summary} == {"image", "audio", "video"}

@@ -94,21 +94,32 @@ def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
 def ann_lsh_topk(
     df: DataFrame, query_vec: list[float], k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",
-    n_planes: int = 8, seed: int = 42,
+    n_planes: int = 8, probe_radius: int = 2, seed: int = 42,
 ) -> DataFrame:
-    """ANN: restrict the exact rescoring to vectors in the query's bucket.
+    """ANN: restrict the exact rescoring to vectors near the query's bucket.
 
-    With B buckets this scans ~n/2^B candidates; recall is tunable via
-    n_planes (fewer planes → bigger buckets → higher recall).  Multi-probe
-    (flipping low-margin bits) is the standard recall extension — here we
-    probe the exact bucket plus all buckets at hamming distance 1.
+    Recall/cost knobs: ``n_planes`` (more planes → smaller buckets → less
+    scanned, lower recall) and ``probe_radius`` (multi-probe: also search
+    buckets within this hamming distance of the query signature).  On
+    *clustered* embeddings few probes suffice; on adversarially random
+    vectors (no neighborhood structure — the driver's synthetic embeddings)
+    radius 2 recovers most of the exact top-k while scanning a bounded
+    fraction of buckets.
     """
+    from itertools import combinations
+
     planes = make_planes(len(query_vec), n_planes, seed)
     qsig = 0
     for i, p in enumerate(planes):
         if float(np.dot(np.asarray(query_vec, dtype=np.float64), p)) >= 0:
             qsig |= 1 << i
-    probe_sigs = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
+    probe_sigs = [qsig]
+    for r in range(1, probe_radius + 1):
+        for bits in combinations(range(n_planes), r):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probe_sigs.append(qsig ^ flip)
 
     with_sig = df.withColumn("_sig", hyperplane_signature_col(vec_col, planes))
     cands = with_sig.filter(F.col("_sig").isin(probe_sigs))

@@ -143,9 +143,12 @@ def test_ann_lsh_vs_brute_force(spark, emb):
     qrow = emb.orderBy("vec_id").first()
     q = list(qrow["embedding"])
     brute = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
-    ann = [r["vec_id"] for r in ann_lsh_topk(emb, q, k=10, n_planes=6).collect()]
+    ann = [r["vec_id"] for r in
+           ann_lsh_topk(emb, q, k=10, n_planes=4, probe_radius=2).collect()]
     overlap = len(set(brute) & set(ann)) / 10
-    assert overlap >= 0.5, (overlap, brute, ann)  # recall with 1-probe LSH
+    # driver embeddings are RANDOM (no cluster structure) — the worst case
+    # for LSH; 4 planes + radius-2 multiprobe still recovers most of top-10
+    assert overlap >= 0.5, (overlap, brute, ann)
 
 
 def test_pairwise_topk(spark, emb):

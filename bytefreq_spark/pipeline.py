@@ -41,12 +41,10 @@ from .quality import decide, text_features
 from .scrub import scrub_series
 
 FEATURE_SCHEMA = StructType([
-    StructField("n_chars", LongType()),
     StructField("n_tokens", LongType()),
     StructField("digit_count", LongType()),
     StructField("weird_count", LongType()),
     StructField("mask_entropy", DoubleType()),
-    StructField("lu_key", StringType()),
     StructField("lang", StringType()),
     StructField("ppl", DoubleType()),
     StructField("scrubbed_text", StringType()),
@@ -61,7 +59,7 @@ DECISION_SCHEMA = StructType([
 def _featurize_udf():
     @F.pandas_udf(FEATURE_SCHEMA)
     def feats(text: pd.Series) -> pd.DataFrame:
-        f = text_features(text)
+        f = text_features(text).drop(columns=["lu_key", "n_chars"])
         f["lang"] = detect_language(text)
         f["ppl"] = perplexity(text)
         f["scrubbed_text"] = scrub_series(text)
@@ -84,6 +82,23 @@ def _decide_udf():
     return dec
 
 
+def with_mask_key(df: DataFrame) -> DataFrame:
+    """Cheap native columns: LU-mask dictionary key + char count.
+
+    Kept OUT of the pandas-UDF stage on purpose: the mask-frequency
+    dictionary pass then needs only this JVM-side projection (Catalyst prunes
+    to the `text` column; zero Python), instead of re-running the heavy
+    featurize UDF.  Native `mask_col` ≡ pandas `mask_series` (test_masks).
+    """
+    from .masks import mask_col
+    from .quality import LU_KEY_LEN
+
+    return df.withColumns({
+        "lu_key": F.substring(mask_col(F.col("text"), "LU"), 1, LU_KEY_LEN),
+        "n_chars": F.coalesce(F.length("text"), F.lit(0)).cast("long"),
+    })
+
+
 def featurize(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
     """Stage 1: per-turn features/lang/ppl/scrub in one Arrow round-trip.
 
@@ -94,6 +109,7 @@ def featurize(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
     """
     if salt_partitions:
         df = df.repartition(salt_partitions)  # round-robin: breaks any skew
+    df = with_mask_key(df)
     return df.withColumn("_f", _featurize_udf()(F.col("text"))).select(
         "*", "_f.*"
     ).drop("_f")
@@ -154,9 +170,15 @@ def quality_filter(
     salt_partitions: int | None = None,
     ordered: bool = True,
 ) -> DataFrame:
-    """Full pipeline: transcripts → labeled/scrubbed turns."""
+    """Full pipeline: transcripts → labeled/scrubbed turns.
+
+    The mask-frequency dictionary is computed from the *cheap* native mask
+    projection of the input (one extra JVM-only scan), so the heavy pandas-UDF
+    stage runs exactly once.
+    """
     feat = featurize(df, salt_partitions)
-    with_freq = with_mask_frequency(feat)
+    freq = mask_frequency_dict(with_mask_key(df))
+    with_freq = with_mask_frequency(feat, freq)
     with_prev = with_prev_turn(with_freq)
     decided = with_decision(with_prev)
     return stable_order(decided) if ordered else decided

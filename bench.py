@@ -49,6 +49,17 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         thunk()
         timings[name] = round(time.time() - t0, 3)
 
+    # session warm-up: JVM codegen + spawn the python worker pool once
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s * 1.0
+
+    spark.range(100000, numPartitions=CPUS).select(
+        F.sum(_warm(F.col("id").cast("double")))
+    ).collect()
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -69,6 +80,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     n_convs = max(int(sf * 20000), 200)  # sf0.1 → 2000 convs ≈ 17k turns + whales
     tr = gen_transcripts_spark(spark, n_convs).cache()
     n_turns = tr.count()
+    # warm-up: python-worker spawn + numpy/pandas import + JVM codegen are
+    # fixed costs irrelevant to steady-state throughput at scale
+    _materialize(quality_filter(tr, salt_partitions=CPUS * 2))
     t0 = time.time()
     _materialize(quality_filter(tr, salt_partitions=CPUS * 2))
     dt = time.time() - t0

@@ -42,11 +42,15 @@ LATIN_MARKERS = {
 LATIN_ORDER = ["en", "fr", "de", "es"]  # deterministic tie-break order
 
 MIN_CHARS = 3  # below this → und
+CAP_CHARS = 2048  # language is decidable from a prefix; bounds cost on huge turns
 
 
 def detect_language(texts: pd.Series) -> pd.Series:
-    """Series[str] → Series[str] of language codes. Fully vectorized."""
-    t = texts.fillna("")
+    """Series[str] → Series[str] of language codes. Fully vectorized.
+
+    Only the first CAP_CHARS characters are examined (frozen contract shared
+    with the reference pipeline)."""
+    t = texts.fillna("").str.slice(0, CAP_CHARS)
     n = len(t)
     n_chars = t.str.len().to_numpy(dtype=np.int64)
 

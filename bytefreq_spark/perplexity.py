@@ -54,9 +54,15 @@ def _train_table(corpus: str) -> np.ndarray:
 _LOGP = _train_table(_SEED_CORPUS)
 
 
+CAP_CHARS = 4096  # perplexity from a prefix; bounds cost on huge turns
+
+
 def perplexity(texts: pd.Series) -> pd.Series:
-    """Series[str] → Series[float64] char-bigram perplexity (vectorized)."""
-    t = texts.fillna("").str.lower()
+    """Series[str] → Series[float64] char-bigram perplexity (vectorized).
+
+    Only the first CAP_CHARS characters are scored (frozen contract shared
+    with the reference pipeline)."""
+    t = texts.fillna("").str.slice(0, CAP_CHARS).str.lower()
     lengths = t.str.len().to_numpy(dtype=np.int64)
     joined = "".join(t.tolist())
     if len(joined) == 0:

@@ -158,10 +158,22 @@ def with_decision(df: DataFrame) -> DataFrame:
     return df.withColumn("_d", dec).select("*", "_d.*").drop("_d")
 
 
-def stable_order(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Stage 5: stable (conv_id, turn_idx) ordering for output."""
-    rp = df.repartitionByRange(*( [partitions] if partitions else [] ),
-                               "conv_id", "turn_idx")
+def stable_order(
+    df: DataFrame, partitions: int | None = None, mode: str = "range"
+) -> DataFrame:
+    """Stage 5: stable (conv_id, turn_idx) ordering for output.
+
+    ``range``: globally sorted output (repartitionByRange samples the input —
+    call only on a persisted/snapshotted frame or the whole upstream runs
+    twice).  ``hash``: conversation-contiguous, per-partition sorted, no
+    sampling pass — the cheap choice at 100 TB where global total order
+    across files buys nothing.
+    """
+    args = [partitions] if partitions else []
+    if mode == "hash":
+        rp = df.repartition(*args, "conv_id")
+    else:
+        rp = df.repartitionByRange(*args, "conv_id", "turn_idx")
     return rp.sortWithinPartitions("conv_id", "turn_idx")
 
 
@@ -181,7 +193,15 @@ def quality_filter(
     with_freq = with_mask_frequency(feat, freq)
     with_prev = with_prev_turn(with_freq)
     decided = with_decision(with_prev)
-    return stable_order(decided) if ordered else decided
+    if not ordered:
+        return decided
+    # Persist before the range repartition: its sampling pass would otherwise
+    # re-execute the whole upstream (heavy UDF twice).  At real scale the
+    # checkpointed runner snapshots to parquet instead (same principle).
+    from pyspark import StorageLevel
+
+    decided = decided.persist(StorageLevel.MEMORY_AND_DISK)
+    return stable_order(decided)
 
 
 # ---------------------------------------------------------------------------

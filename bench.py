@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,8 +52,6 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         timings[name] = round(time.time() - t0, 3)
 
     # session warm-up: JVM codegen + spawn the python worker pool once
-    import pandas as pd
-
     @F.pandas_udf("double")
     def _warm(s: pd.Series) -> pd.Series:
         return s * 1.0

@@ -58,15 +58,27 @@ _HU_STEPS = _H_STEPS + [
 _COLLAPSE_JAVA = ("(.)\\1+", "$1")
 
 
+_ASCII_SRC = (
+    "abcdefghijklmnopqrstuvwxyz" "ABCDEFGHIJKLMNOPQRSTUVWXYZ" "0123456789"
+)
+_ASCII_DST = "a" * 26 + "A" * 26 + "9" * 10
+
+# HU steps after the ASCII translate (whitespace, categories, catch-all)
+_HU_TAIL = _HU_STEPS[3:]
+
+
 def mask_col(col: Column | str, grain: str = "LU") -> Column:
-    """Native-Column mask expression (stays inside whole-stage codegen)."""
+    """Native-Column mask expression (stays inside whole-stage codegen).
+
+    The ASCII a-z/A-Z/0-9 mapping is a single ``translate`` (char table, no
+    regex engine); only the Unicode-category rules need regexp passes."""
     c = F.col(col) if isinstance(col, str) else col
     if grain not in GRAINS:
         grain = "HU"  # reference: unknown grain falls through to HU (main.rs:104)
-    steps = _H_STEPS if grain in ("H", "L") else _HU_STEPS
-    out = c
-    for pat, rep in steps:
-        out = F.regexp_replace(out, pat, rep)
+    out = F.translate(c, _ASCII_SRC, _ASCII_DST)
+    if grain in ("HU", "LU"):
+        for pat, rep in _HU_TAIL:
+            out = F.regexp_replace(out, pat, rep)
     if grain in ("L", "LU"):
         out = F.regexp_replace(out, *_COLLAPSE_JAVA)
         out = F.when(out == "", F.lit("_")).otherwise(out)

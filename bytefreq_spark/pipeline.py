@@ -91,10 +91,16 @@ def with_mask_key(df: DataFrame) -> DataFrame:
     featurize UDF.  Native `mask_col` ≡ pandas `mask_series` (test_masks).
     """
     from .masks import mask_col
-    from .quality import LU_KEY_LEN
+    from .quality import LU_KEY_LEN, LU_KEY_SRC_CHARS
 
     return df.withColumns({
-        "lu_key": F.substring(mask_col(F.col("text"), "LU"), 1, LU_KEY_LEN),
+        # mask only a text prefix: the collapse regex on multi-KB turns is
+        # the dominant JVM cost, and the dictionary key is truncated anyway
+        # (same prefix rule in quality.text_features — frozen contract)
+        "lu_key": F.substring(
+            mask_col(F.substring(F.col("text"), 1, LU_KEY_SRC_CHARS), "LU"),
+            1, LU_KEY_LEN,
+        ),
         "n_chars": F.coalesce(F.length("text"), F.lit(0)).cast("long"),
     })
 
@@ -124,11 +130,12 @@ def mask_frequency_dict(featurized: DataFrame) -> DataFrame:
 def with_mask_frequency(featurized: DataFrame, freq: DataFrame | None = None) -> DataFrame:
     """Stage 2b: broadcast the dictionary back onto turns (J4)."""
     freq = freq if freq is not None else mask_frequency_dict(featurized)
-    # total derives from the (tiny) dictionary — avoids a second full count job
-    total = freq.agg(F.sum("lu_count")).collect()[0][0] or 0
+    # total as a broadcast 1-row cross join: no driver-side action, the whole
+    # pipeline stays one DAG (a collect() here would serialize an extra job)
+    total_df = freq.agg(F.coalesce(F.sum("lu_count"), F.lit(0)).alias("lu_total"))
     return (
         featurized.join(F.broadcast(freq), "lu_key", "left")
-        .withColumn("lu_total", F.lit(int(total)).cast("long"))
+        .crossJoin(F.broadcast(total_df))
     )
 
 

@@ -33,6 +33,7 @@ ENTROPY_MIN_CHARS = 20
 LATIN_LANGS = ("en", "fr", "de", "es")
 ALLOWED_LANGS = ("en", "fr", "de", "es", "zh", "ru", "el", "hi")
 LU_KEY_LEN = 64                      # mask-dictionary key = LU mask truncated
+LU_KEY_SRC_CHARS = 512               # ...computed from this text prefix only
 
 # HU mask char classes for entropy: lower, upper, digit, space, other
 _CLASS_PATTERNS = ["a", "A", "9", " "]
@@ -42,7 +43,7 @@ def text_features(texts: pd.Series) -> pd.DataFrame:
     """Vectorized per-turn features from the HU mask + raw text."""
     t = texts.fillna("")
     hu = mask_series(t, "HU")
-    lu = mask_series(t, "LU")
+    lu = mask_series(t.str.slice(0, LU_KEY_SRC_CHARS), "LU")
 
     n_chars = t.str.len().to_numpy(np.int64)
     # class chars are not regex-special, safe as literal patterns

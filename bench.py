@@ -121,7 +121,9 @@ def run_scaling() -> dict:
     from bytefreq_spark.synth import gen_transcripts_spark
 
     sf = _sf_from_dir(SF_DIR)
-    n_convs = max(int(sf * 20000), 200)
+    # scaling needs a job long enough to amortize fixed scheduling/Arrow
+    # overhead at the higher parallelism — 10× the headline corpus
+    n_convs = max(int(sf * 200000), 2000)
     results = {}
     for cores in (8, 32):
         spark = get_spark(f"bytefreq-scaling-{cores}", cores=cores,

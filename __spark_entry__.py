@@ -285,6 +285,55 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, list(qvec), k=10, n_planes=6)
 
 
+
+
+def q_doubled_columns(spark, sf_dir):
+    from bytefreq_spark.profile import doubled_columns
+
+    cust = _read(spark, sf_dir, "customer")
+    return doubled_columns(cust, ["c_name", "c_mktsegment"], "LU")
+
+
+def q_byte_histogram(spark, sf_dir):
+    from bytefreq_spark.profile import byte_histogram
+
+    cust = _read(spark, sf_dir, "customer")
+    return byte_histogram(cust, "c_mktsegment").withColumnRenamed("count", "cnt")
+
+
+def q_json_profile_props(spark, sf_dir):
+    """S5+M6: parse the events.props JSON strings, flatten to dot-paths,
+    profile with JSON-quoting mask semantics."""
+    from bytefreq_spark.sources.json_flatten import profile_json
+
+    ev = _read(spark, sf_dir, "events")
+    parsed = ev.select(F.from_json("props", "k int").alias("props"))
+    return profile_json(parsed, grain="LU").withColumnRenamed("count", "cnt")
+
+
+def q_reservoir_examples(spark, sf_dir):
+    from bytefreq_spark.profile import reservoir_examples
+
+    orders = _read(spark, sf_dir, "orders")
+    return reservoir_examples(orders, ["o_orderpriority"], "LU").withColumnRenamed(
+        "count", "cnt"
+    )
+
+
+def q_encoding_repair(spark, sf_dir):
+    from bytefreq_spark.scrub import repair_encoding_col
+
+    docs = _read(spark, sf_dir, "documents")
+    # plant deterministic mojibake, then repair natively (K2)
+    broken = docs.select(
+        "doc_id",
+        F.concat(F.lit("caf\u00c3\u00a9 "), F.col("text")).alias("text"),
+    )
+    return broken.select(
+        "doc_id", repair_encoding_col(F.col("text")).alias("fixed")
+    ).select("doc_id", F.substring("fixed", 1, 5).alias("prefix"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -317,7 +366,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
+        "doubled_columns": q_doubled_columns,
+        "byte_histogram": q_byte_histogram,
+        "json_profile_props": q_json_profile_props,
+        "encoding_repair": q_encoding_repair,
         # rows-only (no SQL equivalent)
+        "reservoir_examples": q_reservoir_examples,
         "langid_docs": q_langid_docs,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_groups": q_simhash_groups,
@@ -476,6 +530,29 @@ def oracle_sql() -> dict[str, str]:
                        i -> md5(array_to_string(toks[i + 1 : i + 4], ' '))),
                      'min') AS fp
             FROM t
+        """,
+
+        "doubled_columns": f"""
+            SELECT c_name, c_mktsegment,
+                   {duckdb_mask_sql("c_name", "LU")} AS DQ_c_name,
+                   {duckdb_mask_sql("c_mktsegment", "LU")} AS DQ_c_mktsegment
+            FROM customer
+        """,
+        "byte_histogram": """
+            SELECT unicode(c) AS byte, count(*) AS cnt
+            FROM (SELECT unnest(string_split(c_mktsegment, '')) AS c FROM customer)
+            WHERE c <> '' GROUP BY 1
+        """,
+        "json_profile_props": f"""
+            WITH v AS (
+              SELECT json_extract_string(props, '$.k') AS val FROM events
+            )
+            SELECT 'props.k' AS "column", {duckdb_mask_sql("val", "LU")} AS pattern,
+                   count(*) AS cnt, min(val) AS example
+            FROM v GROUP BY 1, 2
+        """,
+        "encoding_repair": """
+            SELECT doc_id, 'caf\u00e9 ' AS prefix FROM documents
         """,
         "cosine_topk": """
             WITH q AS (

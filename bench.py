@@ -122,8 +122,8 @@ def run_scaling() -> dict:
 
     sf = _sf_from_dir(SF_DIR)
     # scaling needs a job long enough to amortize fixed scheduling/Arrow
-    # overhead at the higher parallelism — 10× the headline corpus
-    n_convs = max(int(sf * 200000), 2000)
+    # overhead at the higher parallelism (~1M turns at sf0.1)
+    n_convs = max(int(sf * 600000), 5000)
     results = {}
     for cores in (8, 32):
         spark = get_spark(f"bytefreq-scaling-{cores}", cores=cores,

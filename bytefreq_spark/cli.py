@@ -1,0 +1,79 @@
+"""spark-submit entry point (north rule: ``spark-submit --py-files``).
+
+Usage:
+    spark-submit --py-files bytefreq_spark.zip -m bytefreq_spark.cli \\
+        quality-filter --input /data/transcripts --output /data/labels \\
+        [--salt-partitions 512] [--checkpoint-dir /data/ckpt]
+    ... profile --input /data/table.parquet --columns a,b,c --grain LU \\
+        --output /data/report
+
+Build the zip with:  (cd repo && zip -r bytefreq_spark.zip bytefreq_spark)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bytefreq-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    qf = sub.add_parser("quality-filter", help="transcript quality-filter pipeline")
+    qf.add_argument("--input", required=True, help="parquet dir / table of transcripts")
+    qf.add_argument("--output", required=True)
+    qf.add_argument("--salt-partitions", type=int, default=None)
+    qf.add_argument("--checkpoint-dir", default=None)
+    qf.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+
+    pr = sub.add_parser("profile", help="bytefreq DQ pattern profile")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--columns", default=None, help="comma-separated (default: all)")
+    pr.add_argument("--grain", default="LU", choices=["H", "L", "HU", "LU"])
+    pr.add_argument("--top-k", type=int, default=None)
+    pr.add_argument("--output", default=None, help="parquet out (default: stdout table)")
+
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(f"bytefreq-{args.cmd}").getOrCreate()
+
+    if args.cmd == "quality-filter":
+        from .pipeline import quality_filter, run_with_checkpoints
+
+        df = spark.read.parquet(args.input)
+        if args.checkpoint_dir:
+            out = run_with_checkpoints(
+                spark, df, args.checkpoint_dir,
+                salt_partitions=args.salt_partitions,
+            )
+        else:
+            out = quality_filter(df, salt_partitions=args.salt_partitions)
+        writer = out.write.mode("overwrite")
+        if args.format == "iceberg":
+            writer.format("iceberg").save(args.output)
+        else:
+            writer.parquet(args.output)
+        n = spark.read.parquet(args.output).count() if args.format == "parquet" else None
+        print(json.dumps({"output": args.output, "rows": n}))
+    elif args.cmd == "profile":
+        from .profile import dq_report
+
+        df = spark.read.parquet(args.input)
+        cols = args.columns.split(",") if args.columns else None
+        rep = dq_report(df, cols, args.grain, args.top_k)
+        if args.output:
+            rep.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"output": args.output}))
+        else:
+            rep.show(200, truncate=40)
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

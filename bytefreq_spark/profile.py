@@ -178,3 +178,43 @@ def per_file_counts(df: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("rows"))
         .orderBy("file")
     )
+
+
+# ---------------------------------------------------------------------------
+# Report cosmetics & legacy report shapes (O4, R2, R3)
+# ---------------------------------------------------------------------------
+
+
+def truncate_example_col(c, max_len: int = 20):
+    """O4 (main.rs:621-635): cut long examples at the last word boundary
+    within max_len and append '...'; strings within the limit pass through."""
+    cut = F.substring(c, 1, max_len)
+    word_cut = F.regexp_extract(cut, r"^(.*\S)\s+\S*$", 1)
+    trimmed = F.when(F.length(word_cut) > 0, word_cut).otherwise(cut)
+    return F.when(F.length(c) <= max_len, c).otherwise(
+        F.concat(trimmed, F.lit("..."))
+    )
+
+
+def doubled_columns(df: DataFrame, columns: list[str] | None = None,
+                    grain: str = "LU") -> DataFrame:
+    """R2 (AWK report=2): each column followed by its DQ_<col> mask."""
+    cols = columns or df.columns
+    out = df.select([F.col(c).cast("string").alias(c) for c in cols])
+    return out.withColumns({f"DQ_{c}": mask_col(F.col(c), grain) for c in cols})
+
+
+def machine_report(df: DataFrame, columns: list[str] | None = None,
+                   grain: str = "LU", source: str = "") -> DataFrame:
+    """R3 (AWK report=0): machine-loadable shape
+    (report_date, filename, colname, grain, count, pattern, example)."""
+    freq = mask_frequency(df, columns, grain)
+    return freq.select(
+        F.current_date().cast("string").alias("report_date"),
+        F.lit(source).alias("filename"),
+        F.col("column").alias("colname"),
+        F.lit(grain).alias("grain"),
+        "count",
+        F.col("pattern"),
+        "example",
+    )

@@ -46,3 +46,45 @@ def scrub_flags(texts: pd.Series) -> pd.DataFrame:
         {name: t.str.count(pat) for name, pat, _ in SCRUB_RULES},
         index=texts.index,
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding repair (K2): Windows-1252 mojibake -> proper UTF-8
+# ---------------------------------------------------------------------------
+
+# Common mojibake sequences produced when CP-1252 bytes are mis-decoded as
+# UTF-8 (the reference ships a 1440-line sed table for the same repair,
+# scripts/awk/win1252_to_utf8.sed).  Ordered longest-first; derived
+# programmatically: mojibake(ch) = ch.encode('utf-8').decode('cp1252').
+
+def _mojibake(ch: str) -> str | None:
+    try:
+        return ch.encode("utf-8").decode("cp1252")
+    except UnicodeDecodeError:
+        return None
+
+
+_REPAIR_CHARS = "\u2019\u201c\u201d\u2013\u2014\u2026\u00e9\u00e8\u00e1\u00f3\u00fa\u00f1\u00e4\u00f6\u00fc\u00df\u00a0\u00a3\u20ac\u00c9\u00e7\u00e2\u00ea\u00ee\u00f4\u00fb"
+MOJIBAKE_MAP = [
+    (m, ch) for ch in _REPAIR_CHARS
+    if (m := _mojibake(ch)) is not None
+]
+MOJIBAKE_MAP.sort(key=lambda p: -len(p[0]))
+
+
+def repair_encoding_series(texts: pd.Series) -> pd.Series:
+    """Vectorized mojibake repair (ordered literal replacements)."""
+    out = texts.fillna("")
+    for bad, good in MOJIBAKE_MAP:
+        out = out.str.replace(bad, good, regex=False)
+    return out
+
+
+def repair_encoding_col(c):
+    """Native-Column variant (chained literal replace, JVM-side)."""
+    from pyspark.sql import functions as F
+
+    out = c
+    for bad, good in MOJIBAKE_MAP:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out

@@ -139,8 +139,49 @@ def with_mask_frequency(featurized: DataFrame, freq: DataFrame | None = None) ->
     )
 
 
+def conversation_layout(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """THE wide shuffle: hash-partition by conv_id, sort by (conv_id, turn_idx).
+
+    This single exchange serves three consumers at once:
+    1. the duplicate-turn ``lag`` window (needs conv_id partitioning + turn
+       order → planned with NO additional exchange or sort),
+    2. the stable (conv_id, turn_idx) output ordering (conversation-contiguous
+       files, deterministic row order),
+    3. conversation-level aggregates downstream.
+
+    Skew note: a whale conversation lands in one partition, but by this point
+    the expensive per-turn UDF work is already done (salted, upstream) — the
+    whale only pays a streaming lag + native filters here.
+    """
+    args = [partitions] if partitions else []
+    return df.repartition(*args, "conv_id").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+
+
+def with_dup_flag(df: DataFrame) -> DataFrame:
+    """Duplicate-turn detection via lag over the conversation layout.
+
+    MUST run on a ``conversation_layout`` frame — then Catalyst plans the
+    window with zero extra exchanges (check: no Exchange above the window in
+    `.explain`).  For inputs without that layout use ``with_prev_turn``
+    (join-based, layout-free) instead.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("text").over(w)
+    return df.withColumn(
+        "is_dup",
+        prev.isNotNull()
+        & (prev == F.col("text"))
+        & (F.coalesce(F.col("text"), F.lit("")) != ""),
+    )
+
+
 def with_prev_turn(df: DataFrame) -> DataFrame:
-    """Stage 3: skew-safe duplicate detection (self-join on composite key)."""
+    """Alternate duplicate detection: skew-safe self-join on the composite
+    key (no layout requirement; costs its own shuffle of both sides)."""
     prev = df.select(
         F.col("conv_id").alias("conv_id"),
         (F.col("turn_idx") + 1).alias("turn_idx"),
@@ -155,8 +196,53 @@ def with_prev_turn(df: DataFrame) -> DataFrame:
     ).drop("_prev_text")
 
 
+def decision_cols() -> tuple[F.Column, F.Column]:
+    """Native-expression mirror of ``quality.decide`` (same rule order, same
+    integer cross-multiplication, same float comparisons — no Arrow
+    round-trip).  Parity is enforced by the end-to-end F1 test."""
+    from . import quality as Q
+
+    n = F.col("n_chars")
+    dc, wc = F.col("digit_count"), F.col("weird_count")
+    ent, ppl = F.col("mask_entropy"), F.col("ppl")
+    lc = F.coalesce(F.col("lu_count"), F.lit(0))
+    lt = F.coalesce(F.col("lu_total"), F.lit(0))
+    lang = F.coalesce(F.col("lang"), F.lit("und"))
+    role = F.coalesce(F.col("role"), F.lit(""))
+    dup = F.coalesce(F.col("is_dup"), F.lit(False))
+
+    reason = (
+        F.when(n == 0, "empty")
+        .when(n > Q.MAX_CHARS, "too_long")
+        .when(~lang.isin(*Q.ALLOWED_LANGS), "lang")
+        .when(wc * Q.WEIRD_DEN > n * Q.WEIRD_NUM, "weird_chars")
+        .when(dc * Q.DIGIT_DEN > n * Q.DIGIT_NUM, "digits")
+        .when(
+            lang.isin(*Q.LATIN_LANGS)
+            & role.isin("user", "assistant")
+            & (ppl > Q.PPL_MAX),
+            "perplexity",
+        )
+        .when(
+            (n < Q.RARE_MAX_CHARS) & (lt > 0)
+            & (lc * 1_000_000 < lt * Q.RARE_PPM),
+            "rare_pattern",
+        )
+        .when((n >= Q.ENTROPY_MIN_CHARS) & (ent < Q.ENTROPY_MIN), "low_entropy")
+        .when(dup, "duplicate")
+    )
+    return reason.isNull().alias("keep"), reason.alias("drop_reason")
+
+
 def with_decision(df: DataFrame) -> DataFrame:
-    """Stage 4: keep/drop via the shared decision kernel."""
+    """Stage 4: keep/drop as native expressions (JVM, whole-stage codegen)."""
+    keep, reason = decision_cols()
+    return df.withColumns({"keep": keep, "drop_reason": reason})
+
+
+def with_decision_udf(df: DataFrame) -> DataFrame:
+    """Pandas-UDF variant of the decision (kernel-identical to the reference
+    implementation; kept for differential testing of ``decision_cols``)."""
     dec = _decide_udf()(
         F.col("lang"), F.col("ppl"), F.col("n_chars"), F.col("digit_count"),
         F.col("weird_count"), F.col("mask_entropy"), F.col("lu_count"),
@@ -188,27 +274,28 @@ def quality_filter(
     df: DataFrame,
     salt_partitions: int | None = None,
     ordered: bool = True,
+    drop_text: bool = False,
 ) -> DataFrame:
     """Full pipeline: transcripts → labeled/scrubbed turns.
 
     The mask-frequency dictionary is computed from the *cheap* native mask
     projection of the input (one extra JVM-only scan), so the heavy pandas-UDF
-    stage runs exactly once.
+    stage runs exactly once.  ``drop_text`` drops the raw text/tool columns
+    from the output (the scrubbed text is the deliverable at scale).
+    ``ordered`` is kept for API compatibility — output is always
+    conversation-contiguous sorted (it falls out of the one shuffle).
     """
     feat = featurize(df, salt_partitions)
     freq = mask_frequency_dict(with_mask_key(df))
     with_freq = with_mask_frequency(feat, freq)
-    with_prev = with_prev_turn(with_freq)
-    decided = with_decision(with_prev)
-    if not ordered:
-        return decided
-    # Persist before the range repartition: its sampling pass would otherwise
-    # re-execute the whole upstream (heavy UDF twice).  At real scale the
-    # checkpointed runner snapshots to parquet instead (same principle).
-    from pyspark import StorageLevel
-
-    decided = decided.persist(StorageLevel.MEMORY_AND_DISK)
-    return stable_order(decided)
+    # ONE wide shuffle: conversation layout → exchange-free lag window →
+    # native decision.  Output is conversation-contiguous and (conv_id,
+    # turn_idx)-sorted by construction; no sampling job, no persist needed.
+    laid_out = conversation_layout(with_freq)
+    decided = with_decision(with_dup_flag(laid_out))
+    if drop_text:
+        decided = decided.drop("text", "tool", "lu_key")
+    return decided
 
 
 # ---------------------------------------------------------------------------
@@ -263,8 +350,8 @@ def run_with_checkpoints(
     if snapshot_valid(out_dir, "labels", config):
         labels = spark.read.parquet(os.path.join(out_dir, "labels"))
     else:
-        decided = with_decision(with_prev_turn(with_mask_frequency(feat)))
-        labels = stable_order(decided)
+        laid_out = conversation_layout(with_mask_frequency(feat))
+        labels = with_decision(with_dup_flag(laid_out))
         write_snapshot(labels, out_dir, "labels", config)
         labels = spark.read.parquet(os.path.join(out_dir, "labels"))
 

@@ -94,13 +94,21 @@ def test_scrub_actually_fires(reference_labels):
 
 
 def test_stable_output_ordering(spark, corpus_pdf):
+    from pyspark.sql import functions as SF
+
     df = spark.createDataFrame(corpus_pdf)
     out = quality_filter(df, salt_partitions=16)
-    pdf = out.select("conv_id", "turn_idx").toPandas()
-    # collect preserves partition order; repartitionByRange+sortWithinPartitions
-    # must yield globally sorted (conv_id, turn_idx)
-    sorted_pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
-    pd.testing.assert_frame_equal(pdf.reset_index(drop=True), sorted_pdf)
+    pdf = out.select(
+        SF.spark_partition_id().alias("pid"), "conv_id", "turn_idx"
+    ).toPandas()
+    # stable ordering contract: within every output partition rows are sorted
+    # by (conv_id, turn_idx), and no conversation straddles two partitions
+    for _pid, grp in pdf.groupby("pid", sort=False):
+        g = grp.reset_index(drop=True)
+        s = g.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, s)
+    conv_parts = pdf.groupby("conv_id")["pid"].nunique()
+    assert (conv_parts == 1).all()
 
 
 def test_parallelism_invariance(spark, corpus_pdf, spark_labels):
@@ -140,3 +148,21 @@ def test_drop_reason_distribution(reference_labels):
         assert expected in reasons, (expected, reasons)
     keep_rate = reference_labels["keep"].mean()
     assert 0.3 < keep_rate < 0.9, keep_rate
+
+
+def test_native_decision_equals_kernel(spark, corpus_pdf):
+    """decision_cols (native exprs) ≡ decide() kernel (pandas UDF)."""
+    from bytefreq_spark.pipeline import (
+        conversation_layout, featurize, mask_frequency_dict, with_decision,
+        with_decision_udf, with_dup_flag, with_mask_frequency, with_mask_key,
+    )
+
+    df = spark.createDataFrame(corpus_pdf)
+    feat = featurize(df, 8)
+    freq = mask_frequency_dict(with_mask_key(df))
+    base = with_dup_flag(conversation_layout(with_mask_frequency(feat, freq)))
+    key = ["conv_id", "turn_idx"]
+    a = with_decision(base).select(*key, "keep", "drop_reason").toPandas().set_index(key).sort_index()
+    b = with_decision_udf(base).select(*key, "keep", "drop_reason").toPandas().set_index(key).sort_index()
+    assert (a["keep"] == b["keep"]).all()
+    assert (a["drop_reason"].fillna("") == b["drop_reason"].fillna("")).all()

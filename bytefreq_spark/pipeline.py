@@ -129,14 +129,17 @@ def mask_frequency_dict(featurized: DataFrame) -> DataFrame:
 
 def with_mask_frequency(featurized: DataFrame, freq: DataFrame | None = None) -> DataFrame:
     """Stage 2b: broadcast the dictionary back onto turns (J4)."""
+    from pyspark.sql import Window
+
     freq = freq if freq is not None else mask_frequency_dict(featurized)
-    # total as a broadcast 1-row cross join: no driver-side action, the whole
-    # pipeline stays one DAG (a collect() here would serialize an extra job)
-    total_df = freq.agg(F.coalesce(F.sum("lu_count"), F.lit(0)).alias("lu_total"))
-    return (
-        featurized.join(F.broadcast(freq), "lu_key", "left")
-        .crossJoin(F.broadcast(total_df))
+    # lu_total rides on the dictionary itself (an unpartitioned window over
+    # the TINY freq frame) so the dict has exactly one consumer — a second
+    # consumer (e.g. a separate total agg) would re-run the full input scan
+    # that builds it.  No driver action, one DAG.
+    freq2 = freq.withColumn(
+        "lu_total", F.sum("lu_count").over(Window.partitionBy(F.lit(1)))
     )
+    return featurized.join(F.broadcast(freq2), "lu_key", "left")
 
 
 def conversation_layout(df: DataFrame, partitions: int | None = None) -> DataFrame:

@@ -61,20 +61,28 @@ def mask_frequency(
     df: DataFrame,
     columns: list[str] | None = None,
     grain: str = "LU",
+    examples: bool = True,
 ) -> DataFrame:
-    """``(column, pattern, count, example)`` — one row per (column, mask).
+    """``(column, pattern, count[, example])`` — one row per (column, mask).
 
     The Spark analogue of the AWK associative-array tallies named in the
     north star; the output is small (low-cardinality masks) and is what gets
     broadcast as the mask-frequency dictionary downstream (J4).
+
+    Scale note: ``min(raw)`` on a string has an immutable aggregation buffer,
+    which forces Catalyst to a **SortAggregate** (per-partition sort of the
+    melted data).  ``examples=False`` keeps the plan a pure partial+final
+    HashAggregate — use it wherever the example column isn't needed (e.g.
+    the pipeline's frequency dictionary).
     """
     long = melt(df, columns)
     masked = long.select(
         "column", mask_col(F.col("raw"), grain).alias("pattern"), "raw"
     )
-    return masked.groupBy("column", "pattern").agg(
-        F.count("*").alias("count"), F.min("raw").alias("example")
-    )
+    aggs = [F.count("*").alias("count")]
+    if examples:
+        aggs.append(F.min("raw").alias("example"))
+    return masked.groupBy("column", "pattern").agg(*aggs)
 
 
 def dq_report(

@@ -38,8 +38,10 @@ def melt(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     attached so report ordering (O1, main.rs:1087-1089) is reproducible.
     """
     cols = columns or df.columns
-    strung = df.select([F.col(c).cast("string").alias(c) for c in cols])
-    long = strung.unpivot([], cols, "column", "raw")
+    # backticks: profiled column names may contain dots (flattened JSON paths,
+    # `.Rules.` outputs) and must not be parsed as struct access
+    strung = df.select([F.col(f"`{c}`").cast("string").alias(c) for c in cols])
+    long = strung.unpivot([], [f"`{c}`" for c in cols], "column", "raw")
     return long
 
 
@@ -76,9 +78,13 @@ def mask_frequency(
     the pipeline's frequency dictionary).
     """
     long = melt(df, columns)
-    masked = long.select(
-        "column", mask_col(F.col("raw"), grain).alias("pattern"), "raw"
-    )
+    # M5 (main.rs:34-36): values under a ``.Rules.`` path are rule outputs —
+    # identity mask, so enhanced output can be re-profiled without
+    # double-masking
+    pattern = F.when(
+        F.col("column").contains(".Rules."), F.col("raw")
+    ).otherwise(mask_col(F.col("raw"), grain))
+    masked = long.select("column", pattern.alias("pattern"), "raw")
     aggs = [F.count("*").alias("count")]
     if examples:
         aggs.append(F.min("raw").alias("example"))

@@ -92,8 +92,17 @@ def std_date_col(raw: Column) -> Column:
     )
 
 
-def rules_struct(field_name: str, raw_c: Column, hu_c: Column, lu_c: Column) -> Column:
-    """``Rules`` struct for one field — mirror of execute_assertions."""
+def rules_struct(
+    field_name: str,
+    raw_c: Column,
+    hu_c: Column,
+    lu_c: Column,
+    include_latlon: bool = False,
+) -> Column:
+    """``Rules`` struct for one field — mirror of execute_assertions.
+
+    ``include_latlon`` enables F9 (poss_latitude/poss_longitude), which the
+    reference defines but ships disabled (assertions.rs:212-213)."""
     name = field_name.lower()
     raw = _strip_quotes(raw_c)
     hu = _strip_quotes(hu_c)
@@ -205,9 +214,20 @@ def rules_struct(field_name: str, raw_c: Column, hu_c: Column, lu_c: Column) -> 
         is_unix = F.lit(None).cast("string")
         ts_datetime = F.lit(None).cast("string")
 
+    # F9 (disabled in the reference, assertions.rs:212-213; behind a flag)
+    if include_latlon:
+        num = raw.try_cast("double")
+        lat = F.when(num_gate, num.between(-90.0, 90.0))
+        lon = F.when(num_gate, num.between(-180.0, 180.0))
+    else:
+        lat = F.lit(None).cast("boolean")
+        lon = F.lit(None).cast("boolean")
+
     return F.struct(
         string_length.alias("string_length"),
         is_numeric.alias("is_numeric"),
+        lat.alias("poss_latitude"),
+        lon.alias("poss_longitude"),
         std_date.alias("std_date"),
         is_dob.alias("is_sensible_dob"),
         is_uk_postcode.alias("is_uk_postcode"),
@@ -219,7 +239,11 @@ def rules_struct(field_name: str, raw_c: Column, hu_c: Column, lu_c: Column) -> 
     )
 
 
-def enhanced(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def enhanced(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    include_latlon: bool = False,
+) -> DataFrame:
     """R4: per-field enhanced struct ``{raw, HU, LU, Rules}`` (main.rs:196-223)."""
     cols = columns or df.columns
     out = []
@@ -232,7 +256,7 @@ def enhanced(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
                 raw.alias("raw"),
                 hu.alias("HU"),
                 lu.alias("LU"),
-                rules_struct(c, raw, hu, lu).alias("Rules"),
+                rules_struct(c, raw, hu, lu, include_latlon).alias("Rules"),
             ).alias(c)
         )
     return df.select(out)
@@ -246,7 +270,8 @@ def enhanced_flat(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     for c in cols:
         for leaf in ("raw", "HU", "LU"):
             flat.append(F.col(f"`{c}`.{leaf}").alias(f"{c}.{leaf}"))
-        for rk in ("string_length", "is_numeric", "std_date", "is_sensible_dob",
+        for rk in ("string_length", "is_numeric", "poss_latitude",
+                   "poss_longitude", "std_date", "is_sensible_dob",
                    "is_uk_postcode", "poss_postal_country", "std_country_iso3",
                    "std_region_code", "is_unix_timestamp", "std_datetime"):
             flat.append(F.col(f"`{c}`.Rules.{rk}").alias(f"{c}.Rules.{rk}"))

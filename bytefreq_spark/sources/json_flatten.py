@@ -140,3 +140,34 @@ def profile_json(df: DataFrame, grain: str = "LU", collapse_arrays: bool = False
     return masked.groupBy("column", "pattern").agg(
         F.count("*").alias("count"), F.min("raw").alias("example")
     )
+
+
+# ---------------------------------------------------------------------------
+# S6: paginated-JSON array extraction (reference main.rs:228-294)
+# ---------------------------------------------------------------------------
+
+PAGINATION_CANDIDATES = ["items", "data", "results", "records", "rows"]
+
+
+def read_paginated_json(spark, path: str, array_field: str = "auto"):
+    """``{items: [...]}`` or top-level ``[...]`` documents → one row per
+    element (the reference's ``--extract-array field|auto``).
+
+    Auto-detection prefers the reference's candidate list
+    (items/data/results/records/rows, main.rs:260-275), falling back to the
+    first array-typed top-level field.
+    """
+    doc = spark.read.option("multiLine", True).json(path)
+    if array_field == "auto":
+        arrays = [f.name for f in doc.schema.fields
+                  if isinstance(f.dataType, ArrayType)]
+        preferred = [c for c in PAGINATION_CANDIDATES if c in arrays]
+        if preferred:
+            array_field = preferred[0]
+        elif arrays:
+            array_field = arrays[0]
+        else:
+            return doc  # already one row per record (top-level array input
+            # is exploded by spark.read.json itself)
+    exploded = doc.select(F.explode(F.col(f"`{array_field}`")).alias("_rec"))
+    return exploded.select("_rec.*")

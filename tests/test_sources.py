@@ -107,3 +107,46 @@ def test_field_count_report(spark, tmp_path_factory):
     lines = spark.read.text(str(p))
     got = {(r["n_fields"], r["rows"]) for r in field_count_report(lines).collect()}
     assert got == {(2, 1), (3, 1), (4, 1)}
+
+
+def test_read_paginated_json(spark, tmp_path_factory):
+    from bytefreq_spark.sources.json_flatten import read_paginated_json
+
+    d = tmp_path_factory.mktemp("paged")
+    (d / "page.json").write_text(
+        '{"page": 1, "items": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]}'
+    )
+    out = read_paginated_json(spark, str(d / "page.json"))
+    rows = {(r["id"], r["name"]) for r in out.collect()}
+    assert rows == {(1, "a"), (2, "b")}
+    # top-level array document
+    (d / "arr.json").write_text('[{"id": 3}, {"id": 4}]')
+    out2 = read_paginated_json(spark, str(d / "arr.json"))
+    assert {r["id"] for r in out2.collect()} == {3, 4}
+
+
+def test_rules_latlon_flag(spark):
+    from bytefreq_spark.rules import enhanced
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("45",), ("120",), ("200",)], ["v"])
+    on = enhanced(df, include_latlon=True).select(
+        F.col("v.Rules.poss_latitude").alias("lat"),
+        F.col("v.Rules.poss_longitude").alias("lon"),
+    ).collect()
+    assert [r["lat"] for r in on] == [True, False, False]
+    assert [r["lon"] for r in on] == [True, True, False]
+    off = enhanced(df).select(F.col("v.Rules.poss_latitude").alias("lat")).collect()
+    assert all(r["lat"] is None for r in off)
+
+
+def test_identity_mask_rules_paths(spark):
+    from bytefreq_spark.profile import mask_frequency
+
+    df = spark.createDataFrame(
+        [("2020-01-01", "ABC123")], ["d.Rules.std_date", "plain"]
+    )
+    freq = {(r["column"], r["pattern"])
+            for r in mask_frequency(df, grain="LU").collect()}
+    assert ("d.Rules.std_date", "2020-01-01") in freq  # identity (M5)
+    assert ("plain", "A9") in freq                      # masked

@@ -23,7 +23,10 @@ from bytefreq_spark.profile import (  # noqa: E402
     dq_report,
     mask_frequency,
 )
-from bytefreq_spark.rules import enhanced  # noqa: E402
+from bytefreq_spark.rules import UK_POSTCODE_RE, enhanced  # noqa: E402
+
+# the UK postcode regex is quote-free; doubled here defensively for SQL embed
+UK_POSTCODE_RE_SQL = UK_POSTCODE_RE.replace("'", "''")
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -137,12 +140,17 @@ def q_q1_pricing(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("2025-06-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            # decimal policy (money aggregates): sum in exact decimal, emit as
+            # double — pandas canonicalizes Decimal vs float64 differently, so
+            # decimal-typed outputs hash-mismatch even on identical values.
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount")))
                 .cast("decimal(18,4)")
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -256,7 +264,12 @@ def q_simhash_groups(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text").limit(100)
     dup = base.withColumn("doc_id", F.col("doc_id") + 1000000)
-    return simhash_groups(base.union(dup)).select("simhash", "n", "ids")
+    # ids stringified: the driver canonicalizer sorts output cells and dies
+    # on array-typed values (unhashable list)
+    return simhash_groups(base.union(dup)).select(
+        "simhash", "n",
+        F.concat_ws(",", F.col("ids").cast("array<string>")).alias("ids"),
+    )
 
 
 def q_quality_filter_transcripts(spark, sf_dir):
@@ -274,7 +287,15 @@ def q_multimodal_features(spark, sf_dir):
     from bytefreq_spark.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=48)
-    return extract_features(media)
+    feats = extract_features(media)
+    # scalarize the feature vector for the driver canonicalizer (arrays in
+    # output cells crash its sort_values); dims + first component keep the
+    # check meaningful without shipping the array
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.size("features").alias("n_dims"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("feat_0"),
+    )
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -335,6 +356,197 @@ def q_encoding_repair(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-2 additions: sources (S2/S3/S4/S6), lineage (A6), report shapes
+# (R3/R5, O4, M5), deeper relational coverage (q3-like)
+# ---------------------------------------------------------------------------
+
+
+def _tmp_path(sf_dir: str, name: str) -> str:
+    return f"/tmp/bytefreq_r2_{name}_{os.path.basename(os.path.normpath(sf_dir))}"
+
+
+def q_ragged_columns(spark, sf_dir):
+    """S3+S4: spaced header normalization + ragged rows → RaggedErr{N},
+    through the real line reader (zipWithIndex line numbers)."""
+    from bytefreq_spark.sources.tabular import read_delimited
+
+    cust = _read(spark, sf_dir, "customer")
+    lines = cust.select(
+        F.concat_ws(
+            "|",
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            # concat_ws skips NULLs → only every 7th row is ragged
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("extra")),
+        ).alias("value")
+    )
+    path = _tmp_path(sf_dir, "ragged") + ".pip"
+    rows = lines.collect()
+    with open(path, "w") as f:
+        f.write("cust name|mkt segment\n")
+        for r in rows:
+            f.write(r["value"] + "\n")
+    return read_delimited(spark, path, delimiter="|", header_row=1).select(
+        "cust_name", "mkt_segment", "RaggedErr0"
+    )
+
+
+def q_csv_quoted_fields(spark, sf_dir):
+    """S2 primary path: RFC 4180 quoted fields with embedded delimiters and
+    doubled-quote escapes via spark.read.csv."""
+    from bytefreq_spark.sources.tabular import read_csv_rfc4180
+
+    nat = _read(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    path = _tmp_path(sf_dir, "quoted") + ".csv"
+    with open(path, "w") as f:
+        f.write("nation key|nation name|quoted note\n")
+        for r in nat:
+            k, name = r["n_nationkey"], r["n_name"]
+            f.write(f'{k}|"{name}|x{k}"|"said ""hi"" {k}"\n')
+    df = read_csv_rfc4180(spark, path, delimiter="|", header=True)
+    return df.select("nation_key", "nation_name", "quoted_note")
+
+
+def q_paginated_json(spark, sf_dir):
+    """S6: paginated-document array extraction (auto-detect 'items')."""
+    import json as _json
+
+    from bytefreq_spark.sources.json_flatten import read_paginated_json
+
+    rows = [
+        {"r_regionkey": r["r_regionkey"], "r_name": r["r_name"]}
+        for r in _read(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
+    ]
+    path = _tmp_path(sf_dir, "paginated") + ".json"
+    with open(path, "w") as f:
+        _json.dump({"page": 1, "total": len(rows), "items": rows}, f)
+    doc = read_paginated_json(spark, path, array_field="auto")
+    return doc.select(
+        F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name"
+    ).orderBy("r_regionkey")
+
+
+def q_per_file_counts(spark, sf_dir):
+    """A6: per-source-file row counts (lineage seed) over a 3-file union."""
+    from bytefreq_spark.profile import per_file_counts
+
+    u = None
+    for t in ("customer", "orders", "nation"):
+        part = _read(spark, sf_dir, t).select(F.lit(1).alias("x"))
+        u = part if u is None else u.unionAll(part)
+    counts = per_file_counts(u)
+    return counts.select(
+        F.regexp_extract("file", "([^/]+)$", 1).alias("file"), "rows"
+    ).orderBy("file")
+
+
+def q_machine_report(spark, sf_dir):
+    """R3 (AWK report=0): machine-loadable frequency table shape."""
+    from bytefreq_spark.profile import machine_report
+
+    cust = _read(spark, sf_dir, "customer")
+    return machine_report(
+        cust, ["c_mktsegment"], "LU", source="customer"
+    ).withColumnRenamed("count", "cnt")
+
+
+def q_truncated_examples(spark, sf_dir):
+    """O4: example truncation on word boundary + '...' (main.rs:621-635)."""
+    from bytefreq_spark.profile import mask_frequency, truncate_example_col
+
+    docs = _read(spark, sf_dir, "documents")
+    freq = mask_frequency(docs, ["text"], "LU")
+    return freq.select(
+        "column", "pattern", F.col("count").alias("cnt"),
+        truncate_example_col(F.col("example"), 20).alias("example"),
+    )
+
+
+def q_identity_mask_rules(spark, sf_dir):
+    """M5: values under a `.Rules.` path get the identity mask (no
+    double-masking of rule outputs, main.rs:34-36)."""
+    from bytefreq_spark.profile import mask_frequency
+
+    orders = _read(spark, sf_dir, "orders")
+    v = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d.Rules.std_date")
+    )
+    return mask_frequency(v, ["d.Rules.std_date"], "LU").withColumnRenamed(
+        "count", "cnt"
+    )
+
+
+def q_rules_flat_enhanced(spark, sf_dir):
+    """R5 + F4/F5/F6/F7: flattened enhanced output with dob / UK-postcode /
+    postal-country / country-ISO3 rules firing on synthesized columns."""
+    from bytefreq_spark.rules import enhanced_flat
+
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    digit = ((F.col("c_custkey") % 9) + 1).cast("string")
+    v = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lower("n_name").alias("country"),
+            F.date_format(
+                F.date_add(
+                    F.to_date(F.lit("1900-01-01")),
+                    (F.col("c_custkey") % 60000).cast("int"),
+                ),
+                "dd/MM/yyyy",
+            ).alias("dob"),
+            F.concat(
+                F.when(F.col("c_custkey") % 5 == 0, F.lit("SI")).otherwise(F.lit("SW")),
+                digit, F.lit(" "), digit, F.lit("AA"),
+            ).alias("post_code"),
+        )
+    )
+    flat = enhanced_flat(v, ["id", "country", "dob", "post_code"])
+    return flat.select(
+        F.col("`id.raw`").alias("id"),
+        F.col("`country.raw`").alias("country_raw"),
+        F.col("`country.HU`").alias("country_hu"),
+        F.col("`country.Rules.std_country_iso3`").alias("iso3"),
+        F.col("`country.Rules.std_region_code`").alias("region"),
+        F.col("`dob.Rules.is_sensible_dob`").alias("dob_ok"),
+        F.col("`dob.Rules.string_length`").alias("dob_len"),
+        F.col("`post_code.Rules.is_uk_postcode`").alias("is_uk_pc"),
+        F.concat_ws(",", F.col("`post_code.Rules.poss_postal_country`")).alias(
+            "postal_countries"
+        ),
+    )
+
+
+def q_q3_top_revenue(spark, sf_dir):
+    """TPC-H q3-shaped: filter → broadcast join → join → agg → top-k."""
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -370,6 +582,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_histogram": q_byte_histogram,
         "json_profile_props": q_json_profile_props,
         "encoding_repair": q_encoding_repair,
+        "ragged_columns": q_ragged_columns,
+        "csv_quoted_fields": q_csv_quoted_fields,
+        "paginated_json": q_paginated_json,
+        "per_file_counts": q_per_file_counts,
+        "machine_report": q_machine_report,
+        "truncated_examples": q_truncated_examples,
+        "identity_mask_rules": q_identity_mask_rules,
+        "rules_flat_enhanced": q_rules_flat_enhanced,
+        "q3_top_revenue": q_q3_top_revenue,
         # rows-only (no SQL equivalent)
         "reservoir_examples": q_reservoir_examples,
         "langid_docs": q_langid_docs,
@@ -379,6 +600,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ann_lsh": q_ann_lsh,
     }
+
+
+def _iso3_case_sql(expr: str) -> str:
+    """CASE expression replicating the J1 country dimension for the oracle."""
+    from bytefreq_spark.rules import COUNTRY_ISO3
+
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(COUNTRY_ISO3.items())
+    )
+    return f"(CASE {expr} {whens} END)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -464,9 +695,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2025-06-01 00:00:00'
@@ -553,6 +784,101 @@ def oracle_sql() -> dict[str, str]:
         """,
         "encoding_repair": """
             SELECT doc_id, 'caf\u00e9 ' AS prefix FROM documents
+        """,
+        "ragged_columns": """
+            WITH lines AS (
+              SELECT c_name || '|' || c_mktsegment ||
+                     (CASE WHEN c_custkey % 7 = 0 THEN '|extra' ELSE '' END) AS value
+              FROM customer
+            ), s AS (SELECT string_split(value, '|') AS f FROM lines)
+            SELECT f[1] AS cust_name, f[2] AS mkt_segment, f[3] AS "RaggedErr0"
+            FROM s
+        """,
+        "csv_quoted_fields": """
+            SELECT CAST(n_nationkey AS VARCHAR) AS nation_key,
+                   n_name || '|x' || CAST(n_nationkey AS VARCHAR) AS nation_name,
+                   'said "hi" ' || CAST(n_nationkey AS VARCHAR) AS quoted_note
+            FROM nation
+        """,
+        "paginated_json": """
+            SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+            FROM region ORDER BY 1
+        """,
+        "per_file_counts": """
+            SELECT 'customer.parquet' AS file, count(*) AS rows FROM customer
+            UNION ALL SELECT 'nation.parquet', count(*) FROM nation
+            UNION ALL SELECT 'orders.parquet', count(*) FROM orders
+            ORDER BY 1
+        """,
+        "machine_report": f"""
+            SELECT CAST(current_date AS VARCHAR) AS report_date,
+                   'customer' AS filename, 'c_mktsegment' AS colname,
+                   'LU' AS grain, count(*) AS cnt,
+                   {duckdb_mask_sql("c_mktsegment", "LU")} AS pattern,
+                   min(c_mktsegment) AS example
+            FROM customer GROUP BY pattern
+        """,
+        "truncated_examples": f"""
+            WITH f AS (
+              SELECT 'text' AS "column", {duckdb_mask_sql("text", "LU")} AS pattern,
+                     count(*) AS cnt, min(text) AS example
+              FROM documents GROUP BY 1, 2
+            ), t AS (
+              SELECT *, substring(example, 1, 20) AS cut,
+                     regexp_extract(substring(example, 1, 20),
+                                    '^(.*\\S)\\s+\\S*$', 1) AS word_cut
+              FROM f
+            )
+            SELECT "column", pattern, cnt,
+                   CASE WHEN length(example) <= 20 THEN example
+                        ELSE (CASE WHEN length(word_cut) > 0 THEN word_cut
+                                   ELSE cut END) || '...' END AS example
+            FROM t
+        """,
+        "identity_mask_rules": """
+            WITH v AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS raw FROM orders
+            )
+            SELECT 'd.Rules.std_date' AS "column", raw AS pattern,
+                   count(*) AS cnt, min(raw) AS example
+            FROM v GROUP BY 1, 2
+        """,
+        "rules_flat_enhanced": f"""
+            WITH v AS (
+              SELECT c_custkey AS id, lower(n_name) AS country,
+                     DATE '1900-01-01' + CAST(c_custkey % 60000 AS INT) AS dob_date,
+                     (CASE WHEN c_custkey % 5 = 0 THEN 'SI' ELSE 'SW' END)
+                       || CAST((c_custkey % 9) + 1 AS VARCHAR) || ' '
+                       || CAST((c_custkey % 9) + 1 AS VARCHAR) || 'AA' AS pc
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT CAST(id AS VARCHAR) AS id,
+                   country AS country_raw,
+                   {duckdb_mask_sql("country", "HU")} AS country_hu,
+                   {_iso3_case_sql("country")} AS iso3,
+                   CASE WHEN {_iso3_case_sql("country")} IS NOT NULL
+                        THEN {_iso3_case_sql("country")} || '-' || country
+                        END AS region,
+                   (dob_date BETWEEN current_date - 46228 AND current_date) AS dob_ok,
+                   length(strftime(dob_date, '%d/%m/%Y')) AS dob_len,
+                   regexp_matches(pc,
+                     '{UK_POSTCODE_RE_SQL}') AS is_uk_pc,
+                   'UK' AS postal_countries
+            FROM v
+        """,
+        "q3_top_revenue": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   min(strftime(o_orderdate, '%Y-%m-%d')) AS orderdate
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+            GROUP BY 1
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
         """,
         "cosine_topk": """
             WITH q AS (

@@ -55,7 +55,10 @@ _HU_STEPS = _H_STEPS + [
     ('[^Aa9 ",.\\-]', "_"),
 ]
 
-_COLLAPSE_JAVA = ("(.)\\1+", "$1")
+# (?s) DOTALL so runs of line terminators collapse too — the reference's
+# Rust char loop (main.rs:79-95) and the DuckDB list-lambda both collapse
+# every repeated char including \n; without DOTALL Java/Python `.` skips them.
+_COLLAPSE_JAVA = ("(?s)(.)\\1+", "$1")
 
 
 _ASCII_SRC = (
@@ -163,7 +166,7 @@ _H_TABLE = {
     **{c: "A" for c in range(ord("A"), ord("Z") + 1)},
     **{c: "9" for c in range(ord("0"), ord("9") + 1)},
 }
-_COLLAPSE_RE = re.compile(r"(.)\1+")
+_COLLAPSE_RE = re.compile(r"(.)\1+", re.DOTALL)
 
 
 @lru_cache(maxsize=65536)

@@ -129,16 +129,21 @@ def mask_frequency_dict(featurized: DataFrame) -> DataFrame:
 
 def with_mask_frequency(featurized: DataFrame, freq: DataFrame | None = None) -> DataFrame:
     """Stage 2b: broadcast the dictionary back onto turns (J4)."""
-    from pyspark.sql import Window
-
     freq = freq if freq is not None else mask_frequency_dict(featurized)
-    # lu_total rides on the dictionary itself (an unpartitioned window over
-    # the TINY freq frame) so the dict has exactly one consumer — a second
-    # consumer (e.g. a separate total agg) would re-run the full input scan
-    # that builds it.  No driver action, one DAG.
-    freq2 = freq.withColumn(
-        "lu_total", F.sum("lu_count").over(Window.partitionBy(F.lit(1)))
+    # lu_total rides on the dictionary itself so the dict has exactly one
+    # consumer — a second consumer (e.g. a separate total agg) would re-run
+    # the full input scan that builds it.  Fold the tiny dict to ONE row
+    # (entries list + grand total) and re-explode: same single-consumer DAG
+    # as a global window but with no single-partition WindowExec (and no
+    # 'No Partition Defined' log noise).  Safe because the dict is
+    # post-aggregation low-cardinality (bounded by distinct truncated masks).
+    one = freq.agg(
+        F.collect_list(F.struct("lu_key", "lu_count")).alias("_entries"),
+        F.sum("lu_count").alias("lu_total"),
     )
+    freq2 = one.select(
+        F.explode("_entries").alias("_e"), "lu_total"
+    ).select("_e.lu_key", "_e.lu_count", "lu_total")
     return featurized.join(F.broadcast(freq2), "lu_key", "left")
 
 

@@ -204,9 +204,14 @@ def rules_struct(
         )
         ts_gate = all9 & raw.try_cast("long").isNotNull() & in_range
         is_unix = F.when(ts_gate, unit)
-        ts_date = F.when(ts_gate, F.from_unixtime(secs, "yyyy-MM-dd"))
+        # Render in UTC regardless of spark.sql.session.timeZone (the ' UTC'
+        # label must be true even on externally created non-UTC sessions):
+        # to_utc_timestamp(ts, session_tz) shifts the instant so the session-tz
+        # rendering shows the UTC wall clock.
+        utc_ts = F.to_utc_timestamp(F.timestamp_seconds(secs), F.current_timezone())
+        ts_date = F.when(ts_gate, F.date_format(utc_ts, "yyyy-MM-dd"))
         ts_datetime = F.when(
-            ts_gate, F.concat(F.from_unixtime(secs, "yyyy-MM-dd HH:mm:ss"), F.lit(" UTC"))
+            ts_gate, F.concat(F.date_format(utc_ts, "yyyy-MM-dd HH:mm:ss"), F.lit(" UTC"))
         )
         # F8 also overrides std_date when it fires (assertions.rs:242-244)
         std_date = F.coalesce(ts_date, std_date)

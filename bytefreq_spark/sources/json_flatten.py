@@ -28,7 +28,9 @@ def json_quote_col(c: Column, dtype) -> Column:
     if isinstance(dtype, StringType):
         quoted = F.concat(F.lit('"'), c, F.lit('"'))
     elif isinstance(dtype, BooleanType):
-        quoted = F.when(c, "true").otherwise("false")
+        # two positive whens so a NULL boolean falls through to the coalesce
+        # ('null'), matching serde_json — otherwise() would swallow NULL
+        quoted = F.when(c, "true").when(~c, "false")
     elif isinstance(dtype, (StructType, ArrayType)):
         quoted = F.to_json(c)
     else:

@@ -22,6 +22,30 @@ def normalize_header(name: str) -> str:
     return name.strip().replace(" ", "_")
 
 
+def _sep_regex(delimiter: str) -> str:
+    return "\\" + delimiter if delimiter in "|.$^*+?()[]{}" else delimiter
+
+
+def delimited_lines_to_columns(
+    lines: DataFrame, names: list[str], delimiter: str = "|",
+    value_col: str = "value",
+) -> DataFrame:
+    """Split a frame of raw lines into named string columns with the
+    reference's ragged-row semantics (S4, main.rs:977-999): fields beyond the
+    header spawn ``RaggedErr{N}`` columns.  Max arity is discovered with one
+    cheap aggregation pass (a distributed scan can't grow schema mid-flight).
+    """
+    data = lines.select(F.split(F.col(value_col), _sep_regex(delimiter)).alias("_f"))
+    max_arity = data.agg(F.max(F.size("_f"))).collect()[0][0] or len(names)
+    cols = list(names) + [
+        f"RaggedErr{i}" for i in range(max(0, max_arity - len(names)))
+    ]
+    return data.select(
+        # F.get (not []): returns NULL past the end under ANSI mode
+        *[F.get(F.col("_f"), i).alias(c) for i, c in enumerate(cols)]
+    )
+
+
 def read_delimited(
     spark: SparkSession,
     path: str,
@@ -34,36 +58,49 @@ def read_delimited(
     (PERMISSIVE); this reader reproduces the reference's *fallback* naive
     split (main.rs:692-694) which is also its AWK-compatible behavior.
     """
-    lines = spark.read.text(path).withColumn(
-        "_row", F.monotonically_increasing_id()
+    # Real 0-based line numbers via zipWithIndex (partition-ordered global
+    # index), not monotonically_increasing_id — mono ids are
+    # (partition<<33)+offset, so `>= header_row` skips the wrong rows whenever
+    # the file splits into >1 partition.  zipWithIndex costs one extra tiny
+    # per-partition-count job, acceptable for this profiling entry path
+    # (the big-data path is spark.read.csv, see read_csv_rfc4180).
+    indexed = spark.read.text(path).rdd.zipWithIndex().map(
+        lambda t: (t[0]["value"], t[1])
     )
-    # header: row N in file order. text source preserves order per file;
-    # for the single-file case monotonic id order == line order.
-    hdr = (
-        lines.orderBy("_row").limit(header_row).orderBy(F.desc("_row")).limit(1)
-        .collect()[0]["value"]
-    )
+    lines = spark.createDataFrame(indexed, "value string, _row long")
+    hdr = lines.filter(F.col("_row") == header_row - 1).collect()[0]["value"]
     names = [normalize_header(c) for c in hdr.split(delimiter)]
 
-    data = lines.filter(F.col("_row") >= header_row).select(
-        F.split("value", "\\" + delimiter if delimiter in "|.$^*+?()[]{}" else delimiter)
-        .alias("_f"),
-        "_row",
+    data = lines.filter(F.col("_row") >= header_row)
+    return delimited_lines_to_columns(data, names, delimiter)
+
+
+def read_csv_rfc4180(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = "|",
+    header: bool = True,
+) -> DataFrame:
+    """RFC 4180 quoted-field delimited reader (S2 primary path).
+
+    The reference's primary tabular parser is the csv crate with full quoting
+    (main.rs:638-655): quoted fields may embed the delimiter, doubled quotes
+    escape a literal quote.  ``spark.read.csv`` implements exactly these
+    semantics JVM-side (splittable, pushdown-friendly — the big-data path);
+    header names get the same trim + spaces→``_`` normalization as
+    ``read_delimited``.  All-string schema: profiling-on-read.
+    """
+    df = spark.read.csv(
+        path, sep=delimiter, header=header, quote='"', escape='"',
+        mode="PERMISSIVE", inferSchema=False,
     )
-    max_arity = data.agg(F.max(F.size("_f"))).collect()[0][0] or len(names)
-    cols = list(names) + [
-        f"RaggedErr{i}" for i in range(max(0, max_arity - len(names)))
-    ]
-    return data.select(
-        # F.get (not []): returns NULL past the end under ANSI mode
-        *[F.get(F.col("_f"), i).alias(c) for i, c in enumerate(cols)]
-    )
+    return df.toDF(*[normalize_header(c) for c in df.columns])
 
 
 def field_count_report(df_lines: DataFrame, column: str = "value",
                        delimiter: str = "|") -> DataFrame:
     """A5 over a raw line frame: rows per field-arity."""
-    sep = "\\" + delimiter if delimiter in "|.$^*+?()[]{}" else delimiter
+    sep = _sep_regex(delimiter)
     return (
         df_lines.select(F.size(F.split(F.col(column), sep)).alias("n_fields"))
         .groupBy("n_fields").agg(F.count("*").alias("rows")).orderBy("n_fields")

@@ -38,6 +38,11 @@ def _dedup_fn(
     state: GroupState,
 ):
     (conv_id,) = key
+    if state.hasTimedOut:
+        # TTL expiry: evict and DON'T re-register, or state grows with total
+        # distinct conversations instead of live ones.
+        state.remove()
+        return
     if state.exists:
         last_idx, last_digest = state.get
     else:

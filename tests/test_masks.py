@@ -33,6 +33,11 @@ GOLDEN = [
     ("ул. Пятницкая", "ул. Пятницкая", "ул. Пятницкая", "aa. Aaaaaaaaa", "a. Aa"),
     ("a\tb", "a\ta", "a\ta", "a a", "a a"),
     ("+44 (0)20", "+99 (9)99", "+9 (9)9", "_99 _9_99", "_9 _9_9"),
+    # multiline values: L/LU must collapse runs of line terminators too
+    # (DOTALL collapse — the reference Rust char loop collapses everything)
+    ("a\n\n\nb", "a\n\n\na", "a\na", "a   a", "a a"),
+    ("x\r\r\ny", "a\r\r\na", "a\r\na", "a   a", "a a"),
+    ("p  q", "a  a", "a a", "a  a", "a a"),
 ]
 
 

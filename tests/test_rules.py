@@ -104,6 +104,23 @@ def test_unix_timestamp(spark):
     assert rows[3]["u"] is None  # bad length
 
 
+def test_unix_timestamp_non_utc_session(spark):
+    """F8 must render true UTC even when the session timezone isn't UTC
+    (the ' UTC' label must not lie on externally created sessions)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        df = spark.createDataFrame([("1700000000",)], ["created_ts"])
+        row = enhanced(df).select(
+            F.col("created_ts.Rules.std_date").alias("d"),
+            F.col("created_ts.Rules.std_datetime").alias("dt"),
+        ).collect()[0]
+        assert row["d"] == "2023-11-14"
+        assert row["dt"] == "2023-11-14 22:13:20 UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_string_length_and_flat(spark):
     df = spark.createDataFrame([("Café", "x")], ["name", "other"])
     flat = enhanced_flat(df)

@@ -272,6 +272,21 @@ def q_simhash_groups(spark, sf_dir):
     )
 
 
+def q_simhash_hamming(spark, sf_dir):
+    """Hamming-neighbor simhash near-dups (banded, no all-pairs)."""
+    from bytefreq_spark.dedup import simhash_near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    near = docs.withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" trailing tail"))
+    )
+    # max_hamming=6 picked by probe: finds ~88% of planted +2-token dups on
+    # the word-salad docs while keeping incidental same-vocab pairs bounded
+    return simhash_near_dup_pairs(
+        docs.union(near), max_hamming=6, bands=16
+    ).orderBy("id_a", "id_b")
+
+
 def q_quality_filter_transcripts(spark, sf_dir):
     from bytefreq_spark.pipeline import quality_filter
     from bytefreq_spark.synth import gen_transcripts_spark
@@ -519,6 +534,15 @@ def q_rules_flat_enhanced(spark, sf_dir):
     )
 
 
+def q_mask_freq_awk_l(spark, sf_dir):
+    """M7: legacy AWK L grain (class-run collapse, <<null>> sentinel) through
+    the standard profiling surface; differentially tested against mawk."""
+    return (
+        mask_frequency(_read(spark, sf_dir, "customer"), ["c_name"], "AWK_L")
+        .withColumnRenamed("count", "cnt")
+    )
+
+
 def q_q3_top_revenue(spark, sf_dir):
     """TPC-H q3-shaped: filter → broadcast join → join → agg → top-k."""
     cust = _read(spark, sf_dir, "customer").filter(
@@ -590,12 +614,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncated_examples": q_truncated_examples,
         "identity_mask_rules": q_identity_mask_rules,
         "rules_flat_enhanced": q_rules_flat_enhanced,
+        "mask_freq_awk_l": q_mask_freq_awk_l,
         "q3_top_revenue": q_q3_top_revenue,
         # rows-only (no SQL equivalent)
         "reservoir_examples": q_reservoir_examples,
         "langid_docs": q_langid_docs,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_groups": q_simhash_groups,
+        "simhash_hamming": q_simhash_hamming,
         "quality_filter_transcripts": q_quality_filter_transcripts,
         "multimodal_features": q_multimodal_features,
         "ann_lsh": q_ann_lsh,
@@ -865,6 +891,11 @@ def oracle_sql() -> dict[str, str]:
                      '{UK_POSTCODE_RE_SQL}') AS is_uk_pc,
                    'UK' AS postal_countries
             FROM v
+        """,
+        "mask_freq_awk_l": f"""
+            SELECT 'c_name' AS "column", {duckdb_mask_sql("c_name", "AWK_L")} AS pattern,
+                   count(*) AS cnt, min(c_name) AS example
+            FROM customer GROUP BY 1, 2
         """,
         "q3_top_revenue": """
             SELECT l_orderkey,

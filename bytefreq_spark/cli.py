@@ -31,7 +31,8 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("profile", help="bytefreq DQ pattern profile")
     pr.add_argument("--input", required=True)
     pr.add_argument("--columns", default=None, help="comma-separated (default: all)")
-    pr.add_argument("--grain", default="LU", choices=["H", "L", "HU", "LU"])
+    pr.add_argument("--grain", default="LU",
+                    choices=["H", "L", "HU", "LU", "AWK_H", "AWK_L"])
     pr.add_argument("--top-k", type=int, default=None)
     pr.add_argument("--output", default=None, help="parquet out (default: stdout table)")
 

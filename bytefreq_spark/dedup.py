@@ -106,18 +106,8 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id",
-    bands: int = 16, rows_per_band: int = 4,
-) -> DataFrame:
-    """Band the signatures and self-join buckets → candidate pairs (a < b).
-
-    Scale analysis: the exploded band table is n·bands rows; the self-join is
-    per (band, band_hash) bucket — genuinely similar docs collide, everything
-    else distributes.  A hot bucket (boilerplate) is bounded by
-    ``spark.sql.adaptive.skewJoin`` at runtime.
-    """
-    banded = signatures.select(
+def _banded(signatures: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    return signatures.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -127,6 +117,58 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("band", "band_hash"),
+    )
+
+
+def _cap_hot_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket`` members before the
+    self-join.  One viral boilerplate string at 10^12 docs otherwise makes a
+    quadratic bucket (|b|² pairs); genuinely-similar clusters that big are a
+    boilerplate class, not near-dup pairs — surface them via
+    ``lsh_hot_buckets`` instead.  The bucket count rides on the same
+    (band, band_hash) shuffle the self-join needs (window, no extra agg+join).
+    """
+    if max_bucket is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash")
+    return (
+        banded.withColumn("_bucket_n", F.count("*").over(w))
+        .filter(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
+    )
+
+
+def lsh_hot_buckets(
+    signatures: DataFrame, id_col: str = "doc_id",
+    bands: int = 16, rows_per_band: int = 4, max_bucket: int = 64,
+) -> DataFrame:
+    """The boilerplate side table: buckets the cap dropped, with sizes and a
+    representative id — feed to a boilerplate-class review pipeline."""
+    banded = _banded(signatures, id_col, bands, rows_per_band)
+    return (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("rep_id"))
+        .filter(F.col("n") > max_bucket)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id",
+    bands: int = 16, rows_per_band: int = 4,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Band the signatures and self-join buckets → candidate pairs (a < b).
+
+    Scale analysis: the exploded band table is n·bands rows; the self-join is
+    per (band, band_hash) bucket — genuinely similar docs collide, everything
+    else distributes.  Hot buckets (boilerplate) are dropped at
+    ``max_bucket`` members (see ``_cap_hot_buckets``/``lsh_hot_buckets``);
+    residual in-bucket skew is handled by AQE skew-join at runtime.
+    """
+    banded = _cap_hot_buckets(
+        _banded(signatures, id_col, bands, rows_per_band), max_bucket
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -168,10 +210,11 @@ def minhash_near_dups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 64, shingle: int = 5, seed: int = 42,
     bands: int = 16, threshold: float = 0.6,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle, seed)
     sigs.cache()
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, n_hashes // bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, n_hashes // bands, max_bucket)
     sim = minhash_similarity(pairs, sigs, id_col)
     return sim.filter(F.col("est_jaccard") >= threshold)
 
@@ -218,6 +261,65 @@ def simhash_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.col("n") > 1)
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, bands: int = 8, max_bucket: int | None = 256,
+) -> DataFrame:
+    """Near-dup pairs at small hamming distance between 64-bit simhashes.
+
+    Bucketing: split the simhash into ``bands`` equal bit-bands; by
+    pigeonhole any pair with hamming < ``bands`` agrees on at least one full
+    band, so a (band, band_bits) equi-self-join finds every such pair without
+    any all-pairs comparison (requires max_hamming < bands — asserted).
+    Candidates are then filtered with native ``bit_count(a XOR b)``.
+    Hot identical-simhash buckets are capped like the minhash LSH path.
+    """
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    assert 64 % bands == 0
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    h = df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+    banded = h.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[
+                # shiftrightunsigned needs a Python-int bit count → unrolled
+                F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_bits"),
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_bits")
+        banded = (
+            banded.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,8 @@ def mask_col(col: Column | str, grain: str = "LU") -> Column:
     The ASCII a-z/A-Z/0-9 mapping is a single ``translate`` (char table, no
     regex engine); only the Unicode-category rules need regexp passes."""
     c = F.col(col) if isinstance(col, str) else col
+    if grain in ("AWK_H", "AWK_L"):  # M7 legacy grains route to the AWK mask
+        return awk_mask_col(c, grain[-1])
     if grain not in GRAINS:
         grain = "HU"  # reference: unknown grain falls through to HU (main.rs:104)
     out = F.translate(c, _ASCII_SRC, _ASCII_DST)
@@ -111,6 +113,8 @@ def _duckdb_collapse(inner: str) -> str:
 
 def duckdb_mask_sql(expr: str, grain: str = "LU") -> str:
     """SQL expression string computing the mask of ``expr`` in DuckDB."""
+    if grain in ("AWK_H", "AWK_L"):
+        return duckdb_awk_mask_sql(expr, grain[-1])
     if grain not in GRAINS:
         grain = "HU"
     steps = _H_STEPS if grain in ("H", "L") else _HU_STEPS_RE2
@@ -192,6 +196,61 @@ def mask_series(s: pd.Series, grain: str = "LU") -> pd.Series:
         out = out.str.replace(_COLLAPSE_RE, r"\1", regex=True)
         out = out.mask(out == "", "_")
     return out
+
+
+# ---------------------------------------------------------------------------
+# M7: legacy AWK grains (bytefreq_v1.05.awk:346-359) — differs from Rust H/L
+# ---------------------------------------------------------------------------
+#
+# Semantics (verified against mawk in this sandbox, see test_awk_differential):
+# * H: per-char gsub  [a-z]→a, [A-Z]→A, [0-9]→9, then \t→T.
+# * L: per-RUN gsub   [a-z]+→a, [A-Z]+→A, [0-9]+→9, then \t→T — only
+#   letter/digit class runs collapse; punctuation/space runs survive
+#   ("Hello--World"→"Aa--Aa" vs Rust L "Aa-Aa"; "ABC  123"→"A  9").
+# * empty → "<<null>>" (vs Rust "_").
+# * classes are ASCII/C-locale: non-ASCII bytes pass through verbatim
+#   ("Café" → H "Aaaé"); char-level == byte-level for valid UTF-8 since
+#   multi-byte sequences contain no ASCII bytes.
+# * the reference's trailing gsub(/^M/,"",prof) is a literal caret-M regex
+#   ("strip leading M", a typo'd \r-strip) — dead code, since every 'M' was
+#   already replaced by the [[:upper:]] pass; reproduced by NOT implementing it.
+
+AWK_NULL = "<<null>>"
+_AWK_H_STEPS = [("[a-z]", "a"), ("[A-Z]", "A"), ("[0-9]", "9"), ("\\t", "T")]
+_AWK_L_STEPS = [("[a-z]+", "a"), ("[A-Z]+", "A"), ("[0-9]+", "9"), ("\\t", "T")]
+
+
+def awk_mask_col(col: Column | str, grain: str = "L") -> Column:
+    """Native-Column AWK-mode mask (legacy H/L grain deltas, M7)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for pat, rep in (_AWK_H_STEPS if grain == "H" else _AWK_L_STEPS):
+        out = F.regexp_replace(out, pat, rep)
+    return F.when(out == "", F.lit(AWK_NULL)).otherwise(out)
+
+
+def awk_mask_str(value: str, grain: str = "L") -> str:
+    """Pure-Python AWK-mode mask (differential-test reference surface)."""
+    out = value
+    for pat, rep in (_AWK_H_STEPS if grain == "H" else _AWK_L_STEPS):
+        out = re.sub(pat.replace("\\t", "\t"), rep, out)
+    return out if out else AWK_NULL
+
+
+def awk_mask_series(s: pd.Series, grain: str = "L") -> pd.Series:
+    """Vectorized pandas AWK-mode mask."""
+    out = s.fillna("")
+    for pat, rep in (_AWK_H_STEPS if grain == "H" else _AWK_L_STEPS):
+        out = out.str.replace(pat.replace("\\t", "\t"), rep, regex=True)
+    return out.mask(out == "", AWK_NULL)
+
+
+def duckdb_awk_mask_sql(expr: str, grain: str = "L") -> str:
+    """DuckDB SQL expression for the AWK-mode mask (oracle surface)."""
+    out = expr
+    for pat, rep in (_AWK_H_STEPS if grain == "H" else _AWK_L_STEPS):
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return f"(CASE WHEN {out} = '' THEN '{AWK_NULL}' ELSE {out} END)"
 
 
 def mask_pandas_udf(grain: str = "LU"):

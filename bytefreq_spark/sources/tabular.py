@@ -97,6 +97,56 @@ def read_csv_rfc4180(
     return df.toDF(*[normalize_header(c) for c in df.columns])
 
 
+# ---------------------------------------------------------------------------
+# S7: Excel source (reference excel.rs:17-114) — gated on openpyxl
+# ---------------------------------------------------------------------------
+
+
+def excel_cell_to_string(v) -> str:
+    """All-cells-to-string semantics of the reference (excel.rs:83-106):
+    ints bare, floats with zero fraction as int strings, bools ``true``/
+    ``false``, empty → ``""``.  Pure function so the semantics are testable
+    even when no Excel reader library is installed."""
+    import math
+
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isfinite(v) and v == int(v):
+            return str(int(v))
+        return str(v)
+    return str(v)
+
+
+def read_excel(
+    spark: SparkSession, path: str, sheet: int | str = 0, header_row: int = 1
+) -> DataFrame:
+    """Excel scan via pandas+openpyxl → all-string DataFrame (S7).
+
+    The container ships no Excel codec; this is the gated fallback the
+    reference's excel.rs implies (sheet by index or name, every cell
+    stringified, header row N with the standard name normalization).
+    Driver-side read — Excel files are small config/reference tables, not
+    the 100 TB path."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "read_excel needs openpyxl, which is not installed in this "
+            "container; semantics are covered by excel_cell_to_string tests"
+        ) from e
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet, header=None, dtype=object)
+    pdf = pdf.where(pd.notna(pdf), None).map(excel_cell_to_string)
+    header = [normalize_header(str(c)) for c in pdf.iloc[header_row - 1]]
+    body = pdf.iloc[header_row:]
+    body.columns = header
+    return spark.createDataFrame(body)
+
+
 def field_count_report(df_lines: DataFrame, column: str = "value",
                        delimiter: str = "|") -> DataFrame:
     """A5 over a raw line frame: rows per field-arity."""

@@ -128,6 +128,54 @@ def test_simhash_exact_and_near_dups(spark, docs):
     assert close >= 0.8, close
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """A planted boilerplate cluster must not produce quadratic pairs; the
+    dropped buckets surface in the lsh_hot_buckets side table; genuine small
+    near-dup groups still pair up."""
+    from bytefreq_spark.dedup import lsh_hot_buckets
+
+    boiler = [(i, "click here to unsubscribe from this mailing list today")
+              for i in range(200)]
+    pair = [(1000, "the quick brown fox jumps over the lazy sleeping dog"),
+            (1001, "the quick brown fox jumps over the lazy sleeping dog dup")]
+    distinct = [(2000 + i, f"wholly unrelated document number {i} with words "
+                           f"alpha{i} beta{i} gamma{i}") for i in range(20)]
+    df = spark.createDataFrame(boiler + pair + distinct, ["doc_id", "text"])
+    sigs = minhash_signatures(df).cache()
+
+    capped = lsh_candidate_pairs(sigs, max_bucket=64).collect()
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    # no pair from the 200-member boilerplate class (would be 19,900 pairs)
+    assert not any(a < 200 and b < 200 for a, b in capped_pairs), len(capped_pairs)
+    # the genuine near-dup pair survives the cap
+    assert (1000, 1001) in capped_pairs
+
+    uncapped = lsh_candidate_pairs(sigs, max_bucket=None)
+    assert uncapped.count() > 19000  # what the cap is protecting against
+
+    hot = lsh_hot_buckets(sigs, max_bucket=64).collect()
+    assert hot and all(r["n"] == 200 for r in hot)
+    assert all(r["rep_id"] < 200 for r in hot)
+
+
+def test_simhash_hamming_near_dup_pairs(spark):
+    """Docs differing by one token of ~40 land within small hamming distance
+    and are found by the banded simhash join; unrelated docs are not paired."""
+    from bytefreq_spark.dedup import simhash_near_dup_pairs
+
+    base = " ".join(f"token{i}" for i in range(40))
+    variant = base.replace("token7", "changed")
+    rows = [(1, base), (2, variant),
+            (3, " ".join(f"other{i}" for i in range(40)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = simhash_near_dup_pairs(df, max_hamming=12, bands=16).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found, pairs
+    assert (1, 3) not in found and (2, 3) not in found
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert 0 < ham[(1, 2)] <= 12
+
+
 def test_cosine_topk(spark, emb):
     qrow = emb.orderBy("vec_id").first()
     q = list(qrow["embedding"])

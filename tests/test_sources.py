@@ -150,3 +150,68 @@ def test_identity_mask_rules_paths(spark):
             for r in mask_frequency(df, grain="LU").collect()}
     assert ("d.Rules.std_date", "2020-01-01") in freq  # identity (M5)
     assert ("plain", "A9") in freq                      # masked
+
+
+def test_csv_rfc4180_quoted_fields(spark, tmp_path_factory):
+    """S2 primary path: embedded delimiters and doubled-quote escapes."""
+    from bytefreq_spark.sources.tabular import read_csv_rfc4180
+
+    p = tmp_path_factory.mktemp("csv") / "q.csv"
+    p.write_text(
+        'id|note name|plain\n'
+        '1|"contains|pipe"|x\n'
+        '2|"said ""hi"" twice"|y\n'
+        '3|unquoted|z\n'
+    )
+    df = read_csv_rfc4180(spark, str(p), delimiter="|", header=True)
+    assert df.columns == ["id", "note_name", "plain"]
+    rows = {r["id"]: r["note_name"] for r in df.collect()}
+    assert rows["1"] == "contains|pipe"
+    assert rows["2"] == 'said "hi" twice'
+    assert rows["3"] == "unquoted"
+
+
+def test_excel_cell_to_string_semantics():
+    """S7 reference semantics (excel.rs:83-106), testable without openpyxl."""
+    from bytefreq_spark.sources.tabular import excel_cell_to_string as c
+
+    assert c(42) == "42"
+    assert c(42.0) == "42"        # zero-fraction float → int string
+    assert c(42.5) == "42.5"
+    assert c(True) == "true" and c(False) == "false"
+    assert c(None) == ""
+    assert c("text") == "text"
+
+
+def test_excel_reader_gated(spark):
+    import pytest as _pytest
+
+    try:
+        import openpyxl  # noqa: F401
+        _pytest.skip("openpyxl present; gate not exercised")
+    except ImportError:
+        pass
+    from bytefreq_spark.sources.tabular import read_excel
+
+    with _pytest.raises(NotImplementedError):
+        read_excel(spark, "/tmp/nonexistent.xlsx")
+
+
+def test_read_delimited_multipartition(spark, tmp_path_factory):
+    """Line numbers must be real even when the file splits into many
+    partitions (monotonically_increasing_id would misalign)."""
+    p = tmp_path_factory.mktemp("mp") / "big.pip"
+    with open(p, "w") as f:
+        f.write("a col|b col\n")
+        for i in range(3000):
+            f.write(f"r{i}|v{i}\n")
+    from bytefreq_spark.sources.tabular import read_delimited
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try:
+        df = read_delimited(spark, str(p), "|", header_row=1)
+        assert df.columns == ["a_col", "b_col"]
+        assert df.count() == 3000
+        assert df.filter(df.a_col == "a col").count() == 0  # no header leak
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")

@@ -534,6 +534,16 @@ def q_rules_flat_enhanced(spark, sf_dir):
     )
 
 
+def q_char_histogram_named(spark, sf_dir):
+    """A7+J3: char histogram with Unicode names via broadcast dim join."""
+    from bytefreq_spark.profile import char_histogram_named
+
+    ev = _read(spark, sf_dir, "events")
+    return char_histogram_named(ev, "event_type").withColumnRenamed(
+        "count", "cnt"
+    )
+
+
 def q_mask_freq_awk_l(spark, sf_dir):
     """M7: legacy AWK L grain (class-run collapse, <<null>> sentinel) through
     the standard profiling surface; differentially tested against mawk."""
@@ -614,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncated_examples": q_truncated_examples,
         "identity_mask_rules": q_identity_mask_rules,
         "rules_flat_enhanced": q_rules_flat_enhanced,
+        "char_histogram_named": q_char_histogram_named,
         "mask_freq_awk_l": q_mask_freq_awk_l,
         "q3_top_revenue": q_q3_top_revenue,
         # rows-only (no SQL equivalent)
@@ -626,6 +637,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ann_lsh": q_ann_lsh,
     }
+
+
+def _ascii_name_values_sql() -> str:
+    """VALUES list (codepoint, unicode name) for printable ASCII — generated
+    from unicodedata so the DuckDB oracle shares the J3 dim's source."""
+    import unicodedata
+
+    pairs = []
+    for cp in range(32, 127):
+        name = unicodedata.name(chr(cp), "UNKNOWN").replace("'", "''")
+        pairs.append(f"({cp}, '{name}')")
+    return ", ".join(pairs)
 
 
 def _iso3_case_sql(expr: str) -> str:
@@ -891,6 +914,14 @@ def oracle_sql() -> dict[str, str]:
                      '{UK_POSTCODE_RE_SQL}') AS is_uk_pc,
                    'UK' AS postal_countries
             FROM v
+        """,
+        "char_histogram_named": f"""
+            WITH names(cp, uname) AS (VALUES {_ascii_name_values_sql()})
+            SELECT c AS char, unicode(c) AS codepoint, count(*) AS cnt,
+                   coalesce(any_value(uname), 'UNKNOWN') AS name
+            FROM (SELECT unnest(string_split(event_type, '')) AS c FROM events)
+            LEFT JOIN names ON unicode(c) = cp
+            WHERE c <> '' GROUP BY 1, 2
         """,
         "mask_freq_awk_l": f"""
             SELECT 'c_name' AS "column", {duckdb_mask_sql("c_name", "AWK_L")} AS pattern,

@@ -94,6 +94,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timings["quality_filter"] = round(dt, 3)
     timings["_turns"] = n_turns
     timings["_turns_per_sec"] = round(n_turns / dt, 1)
+
+    # freq_source strategy comparison (see quality_filter docstring): the
+    # dictionary's second-look cost as rescan-input vs persist-featurized
+    spark.catalog.clearCache()
+    tr = gen_transcripts_spark(spark, n_convs).cache()
+    tr.count()
+    t0 = time.time()
+    _materialize(quality_filter(tr, salt_partitions=CPUS * 2,
+                                freq_source="persist"))
+    timings["quality_filter_persist"] = round(time.time() - t0, 3)
     tr.unpersist()
     return timings
 

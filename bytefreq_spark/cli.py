@@ -27,6 +27,11 @@ def main(argv: list[str] | None = None) -> int:
     qf.add_argument("--salt-partitions", type=int, default=None)
     qf.add_argument("--checkpoint-dir", default=None)
     qf.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    qf.add_argument("--freq-source", default="rescan",
+                    choices=["rescan", "persist"],
+                    help="mask-frequency dictionary strategy (see "
+                         "pipeline.quality_filter docstring for the "
+                         "100 TB cost math)")
 
     pr = sub.add_parser("profile", help="bytefreq DQ pattern profile")
     pr.add_argument("--input", required=True)
@@ -35,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["H", "L", "HU", "LU", "AWK_H", "AWK_L"])
     pr.add_argument("--top-k", type=int, default=None)
     pr.add_argument("--output", default=None, help="parquet out (default: stdout table)")
+    pr.add_argument("--render", action="store_true",
+                    help="reference stdout report layout instead of show()")
 
     args = p.parse_args(argv)
 
@@ -52,7 +59,8 @@ def main(argv: list[str] | None = None) -> int:
                 salt_partitions=args.salt_partitions,
             )
         else:
-            out = quality_filter(df, salt_partitions=args.salt_partitions)
+            out = quality_filter(df, salt_partitions=args.salt_partitions,
+                                 freq_source=args.freq_source)
         writer = out.write.mode("overwrite")
         if args.format == "iceberg":
             writer.format("iceberg").save(args.output)
@@ -69,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.output:
             rep.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"output": args.output}))
+        elif args.render:
+            import datetime
+
+            from .profile import render_dq_report
+
+            ts = datetime.datetime.now().strftime("%Y%m%d %H:%M:%S")
+            print(render_dq_report(rep, examined_rows=df.count(), timestamp=ts))
         else:
             rep.show(200, truncate=40)
 

@@ -283,18 +283,45 @@ def quality_filter(
     salt_partitions: int | None = None,
     ordered: bool = True,
     drop_text: bool = False,
+    freq_source: str = "rescan",
 ) -> DataFrame:
     """Full pipeline: transcripts → labeled/scrubbed turns.
 
-    The mask-frequency dictionary is computed from the *cheap* native mask
-    projection of the input (one extra JVM-only scan), so the heavy pandas-UDF
-    stage runs exactly once.  ``drop_text`` drops the raw text/tool columns
-    from the output (the scrubbed text is the deliverable at scale).
-    ``ordered`` is kept for API compatibility — output is always
-    conversation-contiguous sorted (it falls out of the one shuffle).
+    ``freq_source`` picks how the corpus-wide mask-frequency dictionary is
+    built — the one stage that inherently needs a second look at the data:
+
+    * ``"rescan"`` (default): dictionary from a second scan of the *input*,
+      JVM-only and column-pruned to ``text`` (the cheap native mask
+      projection); the heavy pandas-UDF stage runs exactly once.
+      Cost at 100 TB: input is columnar parquet, so the rescan reads just the
+      text column's compressed bytes (~the dominant column, call it T bytes)
+      a second time — total I/O ≈ 2T reads, zero extra writes.
+    * ``"persist"``: materialize the featurized frame (DISK_ONLY), build the
+      dictionary from its ``lu_key`` and join against the cached copy.
+      Cost at 100 TB: one T read plus a write+read of the featurized frame —
+      which carries text + scrubbed_text + features ≈ 2-3T — so ≥ 2-3T of
+      writes and the same again in reads, on cluster-local disks.
+
+    Rescan wins whenever the input is a columnar format on cheap storage
+    (the 100 TB parquet/Iceberg case: a pruned re-read beats writing 2-3T of
+    scratch).  Persist wins when the input decode itself is expensive or
+    non-columnar (CSV/JSON sources, or a remote store where reads are the
+    bottleneck) — then paying local-disk materialization once is cheaper
+    than decoding twice.  Measured at sf0.1 in BENCH_r02 (see bench.py).
+
+    ``drop_text`` drops the raw text/tool columns from the output (the
+    scrubbed text is the deliverable at scale).  ``ordered`` is kept for API
+    compatibility — output is always conversation-contiguous sorted (it
+    falls out of the one shuffle).
     """
     feat = featurize(df, salt_partitions)
-    freq = mask_frequency_dict(with_mask_key(df))
+    if freq_source == "persist":
+        from pyspark import StorageLevel
+
+        feat = feat.persist(StorageLevel.DISK_ONLY)
+        freq = mask_frequency_dict(feat)
+    else:
+        freq = mask_frequency_dict(with_mask_key(df))
     with_freq = with_mask_frequency(feat, freq)
     # ONE wide shuffle: conversation layout → exchange-free lag window →
     # native decision.  Output is conversation-contiguous and (conv_id,

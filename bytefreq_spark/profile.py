@@ -159,6 +159,61 @@ def char_histogram(df: DataFrame, column: str) -> DataFrame:
     )
 
 
+# J3: char → Unicode-name enrichment (reference main.rs:531-538 uses the
+# unicode_names2 crate; main.rs:320-430 ships a control-char description dim).
+# C0/DEL control chars have no Unicode *name*, so the reference overlays its
+# own descriptions — same data here (it's the standard ASCII control list).
+_CONTROL_CHAR_DESCRIPTIONS = {
+    0x00: "NUL - Null char", 0x01: "SOH - Start of Heading",
+    0x02: "STX - Start of Text", 0x03: "ETX - End of Text",
+    0x04: "EOT - End of Transmission", 0x05: "ENQ - Enquiry",
+    0x06: "ACK - Acknowledgment", 0x07: "BEL - Bell",
+    0x08: "BS - Back Space", 0x09: "HT - Horizontal Tab",
+    0x0A: "LF - Line Feed", 0x0B: "VT - Vertical Tab",
+    0x0C: "FF - Form Feed", 0x0D: "CR - Carriage Return",
+    0x0E: "SO - Shift Out / X-On", 0x0F: "SI - Shift In / X-Off",
+    0x10: "DLE - Data Line Escape",
+    0x11: "DC1 - Device Control 1 (oft. XON)", 0x12: "DC2 - Device Control 2",
+    0x13: "DC3 - Device Control 3 (oft. XOFF)", 0x14: "DC4 - Device Control 4",
+    0x15: "NAK - Negative Acknowledgement", 0x16: "SYN - Synchronous Idle",
+    0x17: "ETB - End of Transmit Block", 0x18: "CAN - Cancel",
+    0x19: "EM - End of Medium", 0x1A: "SUB - Substitute",
+    0x1B: "ESC - Escape", 0x1C: "FS - File Separator",
+    0x1D: "GS - Group Separator", 0x1E: "RS - Record Separator",
+    0x1F: "US - Unit Separator", 0x7F: "DEL - Delete",
+}
+
+
+def unicode_name_dim(spark, max_cp: int = 0x10000) -> DataFrame:
+    """Broadcast dimension ``(char, codepoint, name)`` over the BMP,
+    generated from ``unicodedata`` (J3).  ~65k rows — dimension-table sized;
+    broadcast-joined onto the (already tiny) aggregated char histogram."""
+    import unicodedata
+
+    rows = []
+    for cp in range(1, max_cp):
+        ch = chr(cp)
+        name = unicodedata.name(
+            ch, _CONTROL_CHAR_DESCRIPTIONS.get(cp, "UNKNOWN")
+        )
+        rows.append((ch, cp, name))
+    return spark.createDataFrame(rows, "char string, codepoint int, name string")
+
+
+def char_histogram_named(df: DataFrame, column: str) -> DataFrame:
+    """A7+J3: char histogram enriched with Unicode names via broadcast join
+    against the generated name dim.  ``(char, codepoint, count, name)``."""
+    hist = char_histogram(df, column).drop("codepoint")
+    dim = unicode_name_dim(df.sparkSession)
+    return (
+        hist.join(F.broadcast(dim), "char", "left")
+        .withColumn("name", F.coalesce("name", F.lit("UNKNOWN")))
+        .withColumn("codepoint", F.coalesce("codepoint", F.lit(-1)))
+        .select("char", "codepoint", "count", "name")
+        .orderBy("codepoint")
+    )
+
+
 def byte_histogram(df: DataFrame, column: str) -> DataFrame:
     """Byte-frequency histogram (charfreq.awk:282-285) on UTF-8 bytes."""
     exploded = df.select(
@@ -216,6 +271,99 @@ def doubled_columns(df: DataFrame, columns: list[str] | None = None,
     cols = columns or df.columns
     out = df.select([F.col(c).cast("string").alias(c) for c in cols])
     return out.withColumns({f"DQ_{c}": mask_col(F.col(c), grain) for c in cols})
+
+
+def truncate_string(value: str, max_length: int = 20) -> str:
+    """Faithful replica of the reference's report-side truncation
+    (main.rs:621-635) including its quirks: words are re-joined with a
+    LEADING space, the budget is ``max_length - 3``, whitespace runs
+    collapse, and '...' is appended whenever the rebuilt string is shorter
+    than the input.  (``truncate_example_col`` is the SQL-oracle-able
+    column variant with plainer substring semantics — deliberate split.)"""
+    result = ""
+    for word in value.split():
+        if len(result) + len(word) > max_length - 3:
+            break
+        result += " " + word
+    if len(result) < len(value):
+        result += "..."
+    return result
+
+
+def render_dq_report(
+    report: DataFrame,
+    examined_rows: int | None = None,
+    field_counts: dict[int, int] | None = None,
+    max_len: int = 20,
+    timestamp: str = "",
+) -> str:
+    """The reference's stdout DQ report layout (main.rs:1063-1113), rendered
+    from a ``dq_report`` frame.  Driver-side by design: the report is a
+    small aggregated table (masks × columns), never the data.
+
+    Layout: header with timestamp + examined-rows, FieldsPerLine block, then
+    a tab-separated table ``col_{idx:05}_{name}  count  pattern  example``
+    with {:<32}/{:<8} padding, columns in schema order, masks by count desc.
+    ``examined_rows`` defaults to the report's count sum of the first column
+    (mirrors A4's tabular-only counter quirk when passed 0).
+    """
+    rows = report.orderBy("col_idx", F.desc("count"), "pattern").collect()
+    if examined_rows is None:
+        first_idx = rows[0]["col_idx"] if rows else 0
+        examined_rows = sum(r["count"] for r in rows if r["col_idx"] == first_idx)
+    out = [""]
+    out.append(f"Data Profiling Report: {timestamp}")
+    out.append(f"Examined rows: {examined_rows}")
+    out.append("")
+    out.append("FieldsPerLine:")
+    for n_fields, n_rows in sorted((field_counts or {}).items()):
+        out.append(f"{n_fields} fields: {n_rows} rows")
+    out.append("")
+    out.append(f"{'column':<32}\t{'count':<8}\t{'pattern':<8}\t{'example':<32}")
+    out.append(f"{'':-<32}\t{'':-<8}\t{'':-<8}\t{'':-<32}")
+    for r in rows:
+        example = truncate_string(r["example"] or "", max_len)
+        out.append(
+            f"col_{r['col_idx']:05d}_{r['column']}\t{r['count']:<8}\t"
+            f"{r['pattern']:<8}\t{example:<32}"
+        )
+    return "\n".join(out)
+
+
+def _escape_unicode(ch: str) -> str:
+    """Rust ``char::escape_unicode`` — always ``\\u{hex}``."""
+    return f"\\u{{{ord(ch):x}}}"
+
+
+def _escape_debug(ch: str) -> str:
+    """Rust ``char::escape_debug`` — printable chars verbatim; \\t \\n \\r
+    and quotes escaped; other control/non-printable as ``\\u{hex}``."""
+    import unicodedata
+
+    specials = {"\t": "\\t", "\n": "\\n", "\r": "\\r",
+                '"': '\\"', "'": "\\'", "\\": "\\\\"}
+    if ch in specials:
+        return specials[ch]
+    if unicodedata.category(ch) in ("Cc", "Cf", "Cs", "Co", "Cn"):
+        return _escape_unicode(ch)
+    return ch
+
+
+def render_cp_report(named_hist: DataFrame) -> str:
+    """The reference's CP char-profile stdout layout (main.rs:518-549):
+    ``hex  \\u{..}  count  escaped  name`` with the same (quirky) dash-padded
+    hex column, ordered by codepoint."""
+    out = [
+        f"{'hex':<6}\t{'char':<8}\t{'count':<8}\tdescription\tname",
+        f"{'':-<6}\t{'':-<8}\t{'':-<8}\t{'':-<15}\t{'':-<15}",
+    ]
+    for r in named_hist.orderBy("codepoint").collect():
+        ch = r["char"]
+        out.append(
+            f"{format(r['codepoint'], 'X'):-<6}\t{_escape_unicode(ch):<10}\t"
+            f"{r['count']:<8}\t{_escape_debug(ch):<8}\t{r['name']}"
+        )
+    return "\n".join(out)
 
 
 def machine_report(df: DataFrame, columns: list[str] | None = None,

@@ -166,3 +166,20 @@ def test_native_decision_equals_kernel(spark, corpus_pdf):
     b = with_decision_udf(base).select(*key, "keep", "drop_reason").toPandas().set_index(key).sort_index()
     assert (a["keep"] == b["keep"]).all()
     assert (a["drop_reason"].fillna("") == b["drop_reason"].fillna("")).all()
+
+
+def test_freq_source_persist_identical(spark, corpus_pdf):
+    """quality_filter(freq_source='persist') must produce byte-identical
+    labels/scrub to the default rescan strategy."""
+    from bytefreq_spark.pipeline import quality_filter
+
+    tr = spark.createDataFrame(corpus_pdf)
+    cols = ["conv_id", "turn_idx", "keep", "drop_reason", "scrubbed_text"]
+    a = quality_filter(tr, salt_partitions=8).select(cols).toPandas()
+    b = quality_filter(tr, salt_partitions=8, freq_source="persist").select(
+        cols
+    ).toPandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)

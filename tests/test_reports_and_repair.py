@@ -95,3 +95,68 @@ def test_streaming_mask_frequency(spark, tmp_path):
     assert total == len(pdf)
     pats = {r["pattern"] for r in out}
     assert pats == {"a"}  # roles are lowercase words → LU 'a'
+
+
+def test_truncate_string_reference_semantics():
+    """Hand-computed goldens of main.rs:621-635 (incl. the leading-space and
+    max_length-3 quirks)."""
+    from bytefreq_spark.profile import truncate_string
+
+    # words re-joined with leading space; break before overflowing budget 17
+    assert truncate_string("this is a long example value", 20) == " this is a long..."
+    # single word fitting: rebuilt " 8" is longer than "8" → no ellipsis
+    assert truncate_string("8", 20) == " 8"
+    # whitespace collapse + leading space net out equal → no ellipsis
+    assert truncate_string("a  b", 20) == " a b"
+    # genuinely shorter rebuild → ellipsis appended
+    assert truncate_string("a   b", 20) == " a b..."
+    assert truncate_string("", 20) == ""
+    # overlong single word: nothing fits → bare ellipsis
+    assert truncate_string("x" * 40, 20) == "..."
+
+
+def test_render_dq_report_layout(spark):
+    """Format parity with main.rs:1063-1113 (README.md:276-314 shape)."""
+    from bytefreq_spark.profile import dq_report, render_dq_report
+
+    df = spark.createDataFrame(
+        [("Feature", "62.0171126")] * 3 + [("Feature2", "129.826488")],
+        ["type", "coord"],
+    )
+    rep = dq_report(df, ["type", "coord"], "LU")
+    text = render_dq_report(rep, examined_rows=4, field_counts={2: 4},
+                            timestamp="20230403 00:55:13")
+    lines = text.split("\n")
+    assert lines[0] == ""
+    assert lines[1] == "Data Profiling Report: 20230403 00:55:13"
+    assert lines[2] == "Examined rows: 4"
+    assert lines[4] == "FieldsPerLine:"
+    assert lines[5] == "2 fields: 4 rows"
+    assert lines[7] == f"{'column':<32}\t{'count':<8}\t{'pattern':<8}\t{'example':<32}"
+    assert lines[8] == f"{'':-<32}\t{'':-<8}\t{'':-<8}\t{'':-<32}"
+    # columns in schema order, masks by count desc; col_{idx:05}_{name}
+    assert lines[9].startswith("col_00000_type\t3")
+    assert "Aa" in lines[9]
+    assert lines[10].startswith("col_00000_type\t1")
+    assert lines[11].startswith("col_00001_coord\t")
+
+
+def test_char_histogram_named_and_cp_render(spark):
+    from bytefreq_spark.profile import char_histogram_named, render_cp_report
+
+    df = spark.createDataFrame([("ab\t",), ("aé",)], ["v"])
+    named = char_histogram_named(df, "v")
+    by_char = {r["char"]: r for r in named.collect()}
+    assert by_char["a"]["name"] == "LATIN SMALL LETTER A"
+    assert by_char["a"]["count"] == 2
+    assert by_char["\t"]["name"] == "HT - Horizontal Tab"  # control-char dim
+    assert by_char["é"]["name"] == "LATIN SMALL LETTER E WITH ACUTE"
+    assert by_char["é"]["codepoint"] == 0xE9
+
+    text = render_cp_report(named)
+    lines = text.split("\n")
+    assert lines[0].startswith("hex   \tchar")
+    # tab row: dash-padded hex quirk, \u{9} escape, description \t → \\t
+    tab_line = [ln for ln in lines if "Horizontal Tab" in ln][0]
+    assert tab_line.startswith("9-----\t\\u{9}")
+    assert "\\t" in tab_line

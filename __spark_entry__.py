@@ -164,7 +164,9 @@ def q_revenue_by_segment(spark, sf_dir):
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            # decimal policy: exact decimal sum, double out (see q1_pricing)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
         .orderBy("c_mktsegment")
@@ -239,6 +241,17 @@ def q_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qvec = emb.orderBy("vec_id").first()["embedding"]
     return cosine_topk(emb, list(qvec), k=10)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN with n_probe == n_centroids: exercises the full train →
+    assign → probe → rescore path while degrading to the exact answer, so
+    the brute-force SQL oracle applies."""
+    from bytefreq_spark.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.orderBy("vec_id").first()["embedding"]
+    return ivf_topk(emb, list(qvec), k=10, n_centroids=8, n_probe=8)
 
 
 # -- non-SQL-expressible (rows-only checks) ---------------------------------
@@ -612,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
         "doubled_columns": q_doubled_columns,
         "byte_histogram": q_byte_histogram,
         "json_profile_props": q_json_profile_props,
@@ -754,7 +768,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_segment": """
             SELECT c_mktsegment,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1 ORDER BY 1
@@ -943,6 +957,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
         """,
         "cosine_topk": """
+            WITH q AS (
+              SELECT embedding FROM embeddings
+              WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "ivf_topk": """
             WITH q AS (
               SELECT embedding FROM embeddings
               WHERE vec_id = (SELECT min(vec_id) FROM embeddings)

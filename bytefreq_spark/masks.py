@@ -186,6 +186,45 @@ def mask_str(value: str, grain: str = "LU") -> str:
     return lo if lo else "_"
 
 
+def flat_codes(s: pd.Series):
+    """(codes, starts, lens) flat-codepoint view of a string Series.
+
+    One buffer for the whole batch: utf-32-le encode gives exactly one
+    uint32 per Python char (astral included, no surrogates), so per-row
+    char-class work becomes numpy slicing with ``starts``/``lens``."""
+    import numpy as np
+
+    joined = "".join(s)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = s.str.len().to_numpy(np.int64)
+    starts = np.zeros(len(s), np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return codes, starts, lens
+
+
+def collapse_runs_series(s: pd.Series) -> pd.Series:
+    """Vectorized run-length collapse ≡ ``re.sub((?s)(.)\\1+, \\1)`` with
+    empty → ``_`` — the L-grain collapse as positional numpy (no
+    backreference regex; ~7× on long batches).  Differentially tested
+    against the regex formulation (test_masks)."""
+    import numpy as np
+
+    codes, starts, lens = flat_codes(s)
+    if len(codes) == 0:
+        return pd.Series(["_"] * len(s), index=s.index, dtype=object)
+    keep = np.empty(len(codes), dtype=bool)
+    keep[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=keep[1:])
+    keep[starts[starts < len(codes)]] = True  # row starts always survive
+    cum = np.concatenate(([0], np.cumsum(keep)))
+    new_lens = cum[starts + lens] - cum[starts]
+    big = codes[keep].tobytes().decode("utf-32-le")
+    ends = np.cumsum(new_lens)
+    begins = ends - new_lens
+    out = [big[a:b] if b > a else "_" for a, b in zip(begins, ends)]
+    return pd.Series(out, index=s.index, dtype=object)
+
+
 def mask_series(s: pd.Series, grain: str = "LU") -> pd.Series:
     """Vectorized pandas mask (for pandas-UDF stages). NaN-safe."""
     if grain not in GRAINS:
@@ -193,8 +232,7 @@ def mask_series(s: pd.Series, grain: str = "LU") -> pd.Series:
     table = _H_TABLE if grain in ("H", "L") else _HU_TABLE
     out = s.fillna("").str.translate(table)
     if grain in ("L", "LU"):
-        out = out.str.replace(_COLLAPSE_RE, r"\1", regex=True)
-        out = out.mask(out == "", "_")
+        out = collapse_runs_series(out)
     return out
 
 

@@ -38,24 +38,109 @@ LU_KEY_SRC_CHARS = 512               # ...computed from this text prefix only
 # HU mask char classes for entropy: lower, upper, digit, space, other
 _CLASS_PATTERNS = ["a", "A", "9", " "]
 
+# whitespace LUT matching regex \s EXACTLY (verified: \s ≡ str.isspace over
+# the BMP; no astral whitespace exists) — max whitespace cp is U+3000
+_WS_LUT_SIZE = 0x3001
+_WS_LUT: np.ndarray | None = None
+
+
+def _ws_lut() -> np.ndarray:
+    global _WS_LUT
+    if _WS_LUT is None:
+        _WS_LUT = np.fromiter(
+            (chr(i).isspace() for i in range(_WS_LUT_SIZE)),
+            dtype=bool, count=_WS_LUT_SIZE,
+        )
+    return _WS_LUT
+
+
+def _rowwise_count(mask: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-row popcount of a flat boolean mask (cumsum trick; empty-row safe).
+    int32 accumulator: halves memory traffic, safe for batches < 2^31 chars."""
+    cum = np.concatenate(([0], np.cumsum(mask, dtype=np.int32)))
+    return (cum[starts + lens] - cum[starts]).astype(np.int64)
+
+
+# HU's output alphabet is 9 ASCII symbols; classid LUT for one-pass counting
+_HU_CLASS_LUT = np.full(128, 5, dtype=np.int64)  # 5 = kept punctuation
+for _i, _c in enumerate("aA9 _"):
+    _HU_CLASS_LUT[ord(_c)] = _i
+
 
 def text_features(texts: pd.Series) -> pd.DataFrame:
-    """Vectorized per-turn features from the HU mask + raw text."""
+    """Vectorized per-turn features from the HU mask + raw text.
+
+    Counting runs over ONE flat codepoint buffer per batch (utf-32 view +
+    reduce-by-row) instead of per-class ``str.count`` passes — identical
+    results (``text_features_naive`` + differential test), ~3× faster."""
+    from .masks import flat_codes
+
     t = texts.fillna("")
     hu = mask_series(t, "HU")
     lu = mask_series(t.str.slice(0, LU_KEY_SRC_CHARS), "LU")
 
     n_chars = t.str.len().to_numpy(np.int64)
-    # class chars are not regex-special, safe as literal patterns
+
+    # all class counts in ONE bincount pass over the flat HU buffer
+    hcodes, hstarts, hlens = flat_codes(hu)
+    n = len(hu)
+    cls = _HU_CLASS_LUT[np.minimum(hcodes, 127)]  # HU output is pure ASCII
+    pos = np.repeat(np.arange(n, dtype=np.int64), hlens)
+    cmat = np.bincount(pos * 6 + cls, minlength=n * 6).reshape(n, 6)
+    counts = cmat[:, :4].T.astype(np.int64)  # a, A, 9, space
+    known = counts.sum(axis=0)
+    other = np.maximum(n_chars - known, 0)  # '_' + kept punctuation ",.-\""
+    weird = cmat[:, 4].astype(np.int64)
+    digits = counts[2]
+
+    # token count ≡ str.count(r"\S+"): non-ws positions preceded by ws/start
+    rcodes, rstarts, rlens = flat_codes(t)
+    ws = np.zeros(len(rcodes), dtype=bool)
+    small = rcodes < _WS_LUT_SIZE
+    ws[small] = _ws_lut()[rcodes[small]]
+    prev_ws = np.empty(len(rcodes), dtype=bool)
+    if len(rcodes):
+        prev_ws[0] = True
+        prev_ws[1:] = ws[:-1]
+        prev_ws[rstarts[rstarts < len(rcodes)]] = True  # rows are independent
+    n_tokens = _rowwise_count(~ws & prev_ws, rstarts, rlens)
+
+    # class entropy (nats) over [a, A, 9, space, other]
+    full = np.vstack([counts, other[None, :]]).astype(np.float64)
+    total = np.maximum(full.sum(axis=0), 1.0)
+    p = full / total
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ent = -np.nansum(np.where(p > 0, p * np.log(p), 0.0), axis=0)
+
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "digit_count": digits,
+            "weird_count": weird,
+            "mask_entropy": ent,
+            "lu_key": lu.str.slice(0, LU_KEY_LEN),
+        },
+        index=texts.index,
+    )
+
+
+def text_features_naive(texts: pd.Series) -> pd.DataFrame:
+    """Original per-class ``str.count`` formulation — differential-test
+    reference for ``text_features``."""
+    t = texts.fillna("")
+    hu = mask_series(t, "HU")
+    lu = mask_series(t.str.slice(0, LU_KEY_SRC_CHARS), "LU")
+
+    n_chars = t.str.len().to_numpy(np.int64)
     counts = np.stack(
         [hu.str.count(c).to_numpy(np.int64) for c in _CLASS_PATTERNS]
     )
     known = counts.sum(axis=0)
-    other = np.maximum(n_chars - known, 0)  # '_' + kept punctuation ",.-\""
+    other = np.maximum(n_chars - known, 0)
     weird = hu.str.count("_").to_numpy(np.int64)
     digits = counts[2]
 
-    # class entropy (nats) over [a, A, 9, space, other]
     full = np.vstack([counts, other[None, :]]).astype(np.float64)
     total = np.maximum(full.sum(axis=0), 1.0)
     p = full / total

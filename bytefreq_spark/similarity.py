@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,7 +31,9 @@ def _norm(a) -> F.Column:
 
 
 def cosine_sim_col(a, b) -> F.Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero vector has undefined cosine → NULL (sorted last),
+    # instead of an ANSI DIVIDE_BY_ZERO crash taking down the whole scan
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -89,6 +92,97 @@ def hyperplane_signature_col(vec_col: str, planes: np.ndarray) -> F.Column:
 def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the clustered-data scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
+    id_col: str = "vec_id", seed: int = 42, iters: int = 5,
+    sample_n: int = 4096,
+) -> np.ndarray:
+    """Deterministic k-means centroids from a hash-ordered sample.
+
+    The model is dimension-table sized (n_centroids × dim floats), so the
+    Lloyd iterations run driver-side in numpy over a bounded sample — the
+    standard IVF recipe; only assignment and search are distributed.
+    Determinism: sample = first ``sample_n`` rows by ``xxhash64(id, seed)``
+    order, init = first ``n_centroids`` of the sample, fixed iteration count.
+    """
+    sample = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Arrow-vectorized nearest-centroid assignment (one matmul per batch)."""
+    cents = centroids.astype(np.float64)
+    c2 = (cents ** 2).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        # argmin ||x-c||² = argmin c·c - 2 x·c  (x·x constant per row)
+        d = c2[None, :] - 2.0 * (x @ cents.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_assignments(
+    df: DataFrame, centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectors + their IVF cluster id.  At 100 TB: materialize this once
+    (``.write.partitionBy('ivf_cluster')``) so each query's bucket scan is a
+    partition-pruned read instead of a full pass."""
+    return df.withColumn("ivf_cluster", ivf_assign_udf(centroids)(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    centroids: np.ndarray | None = None, n_centroids: int = 16,
+    n_probe: int = 4, seed: int = 42,
+) -> DataFrame:
+    """IVF search: exact cosine rescoring over only the ``n_probe`` clusters
+    nearest the query.  ``n_probe == n_centroids`` degrades gracefully to the
+    exact brute-force answer (tested).  Shines on clustered embeddings
+    (real-corpus structure); on adversarially-uniform vectors recall tends to
+    n_probe/n_centroids, which is the method's documented behavior, not a bug.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            df, n_centroids, vec_col, id_col, seed=seed
+        )
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+
+    assigned = ivf_assignments(df, centroids, vec_col)
+    cands = assigned.filter(F.col("ivf_cluster").isin(probes))
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = cands.select(
+        F.col(id_col),
+        F.round(cosine_sim_col(F.col(vec_col), qlit), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
 def ann_lsh_topk(

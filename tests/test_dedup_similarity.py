@@ -266,3 +266,64 @@ def test_multimodal_plumbing(spark):
     assert a == b
     summary = media_metadata_summary(media).collect()
     assert {r["kind"] for r in summary} == {"image", "audio", "video"}
+
+
+def test_ivf_full_probe_equals_brute(spark, emb):
+    """n_probe == n_centroids degrades to the exact brute-force answer."""
+    from bytefreq_spark.similarity import ivf_topk
+
+    qrow = emb.orderBy("vec_id").first()
+    q = list(qrow["embedding"])
+    brute = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, q, k=10).collect()]
+    full = [(r["vec_id"], r["cosine"]) for r in
+            ivf_topk(emb, q, k=10, n_centroids=8, n_probe=8).collect()]
+    assert full == brute
+
+
+def test_ivf_clustered_recall(spark):
+    """On clustered embeddings (the real-corpus case) IVF with few probes
+    recovers the exact top-k."""
+    import numpy as np
+
+    from bytefreq_spark.similarity import ivf_topk, cosine_topk as brute_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((8, 16)) * 5.0
+    rows = []
+    for i in range(800):
+        c = i % 8
+        v = centers[c] + rng.standard_normal(16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[3][1]  # a member of cluster 3's neighborhood
+    brute = [r["vec_id"] for r in brute_topk(df, q, k=10).collect()]
+    ivf = [r["vec_id"] for r in
+           ivf_topk(df, q, k=10, n_centroids=8, n_probe=2).collect()]
+    recall = len(set(brute) & set(ivf)) / 10
+    assert recall >= 0.9, (recall, brute, ivf)
+
+
+def test_ivf_assignments_deterministic(spark, emb):
+    from bytefreq_spark.similarity import ivf_assignments, ivf_train_centroids
+
+    cents = ivf_train_centroids(emb, n_centroids=8)
+    cents2 = ivf_train_centroids(emb.repartition(5), n_centroids=8)
+    import numpy as np
+
+    assert np.allclose(cents, cents2)
+    a = {r["vec_id"]: r["ivf_cluster"] for r in
+         ivf_assignments(emb.limit(50), cents).collect()}
+    b = {r["vec_id"]: r["ivf_cluster"] for r in
+         ivf_assignments(emb.limit(50).repartition(3), cents).collect()}
+    assert a == b
+
+
+def test_cosine_zero_vector_yields_null_not_crash(spark):
+    """ANSI mode: zero vectors must produce NULL cosine (try_divide), not a
+    DIVIDE_BY_ZERO crash taking down the scan."""
+    from bytefreq_spark.similarity import cosine_topk
+
+    rows = [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cosine"] for r in cosine_topk(df, [1.0, 0, 0, 0], k=3).collect()}
+    assert out[1] == 1.0 and out[2] == 0.0 and out[0] is None

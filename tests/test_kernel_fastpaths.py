@@ -1,0 +1,116 @@
+"""Differential tests: optimized kernels vs their naive formulations.
+
+The fast paths (scrub prefilter, langid ASCII fast path + tokenized Latin
+tier, mojibake lead-char prefilter) must be BYTE-IDENTICAL to the naive
+implementations on every input — these tests are the drift guard: add a rule
+or marker that evades a prefilter and they fail.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from bytefreq_spark.langid import detect_language, detect_language_naive
+from bytefreq_spark.scrub import (
+    MOJIBAKE_MAP,
+    SCRUB_RULES,
+    repair_encoding_series,
+    scrub_series,
+    scrub_series_naive,
+)
+from bytefreq_spark.synth import gen_transcripts_pandas
+
+ADVERSARIAL = [
+    "",
+    None,
+    "no pii here at all",
+    "mail me at a.b+c@example.co.uk now",
+    "card 4111 1111 1111 1111 and ip 10.0.0.1",
+    "call +44 (0)20 7946 0958 or 555-123-4567x",
+    "postcode SW1A 1AA and ssn 123-45-6789",
+    "That's BULLSHIT and you're a DumbAss",
+    "harassment assessment classification",  # tox stems inside longer words
+    "digits only 1234567890123456",
+    "Ã© broken cafÃ© text â€” with mojibake â€œquotedâ€",
+    "clean unicode é ü 丙 Пятницкая",
+    "the quick brown fox",          # en markers
+    "le chat est sur la table",     # fr markers
+    "der Hund ist nicht da für",    # de markers
+    "el perro es un animal",        # es markers
+    "一二三四五六七八九十" * 3,      # script tier
+    "Привет как дела сегодня",      # cyrillic
+    "word " * 500,                  # long
+    "x" * 3000,                     # over CAP_CHARS
+    "the_end the1 the,end the end", # \b vs \w+ token boundary edges
+    "UNE une Une uNe",              # case-insensitive optional-e marker
+]
+
+
+def _series():
+    pdf = gen_transcripts_pandas(300)
+    extra = pd.Series(ADVERSARIAL, dtype=object)
+    return pd.concat([pdf["text"], extra], ignore_index=True)
+
+
+def test_scrub_fast_equals_naive():
+    s = _series()
+    assert scrub_series(s).equals(scrub_series_naive(s))
+
+
+def test_scrub_prefilter_is_conservative():
+    """Every rule's own matches must be reachable through the prefilter:
+    synthesize a matching string per rule and require it to be rewritten."""
+    probes = {
+        "email": "x a@b.co x", "card": "4111 1111 1111 1111",
+        "ipv4": "1.2.3.4", "phone": "+12345678901",
+        "uk_postcode": "SW1A 1AA", "ssn": "123-45-6789",
+        "toxicity": "bullshit",
+    }
+    assert set(probes) == {name for name, _, _ in SCRUB_RULES}
+    s = pd.Series(list(probes.values()))
+    out = scrub_series(s)
+    assert not out.equals(s), "prefilter swallowed a rule's matches"
+    assert out.equals(scrub_series_naive(s))
+
+
+def test_langid_fast_equals_naive():
+    s = _series()
+    assert detect_language(s).equals(detect_language_naive(s))
+
+
+def test_repair_encoding_prefilter():
+    s = pd.Series(["cafÃ©", "café", "", None, "â€œxâ€", "plain"])
+    fixed = repair_encoding_series(s)
+    assert fixed.iloc[0] == "café"
+    assert fixed.iloc[1] == "café"
+    assert fixed.iloc[5] == "plain"
+    # naive equivalence
+    naive = s.fillna("")
+    for bad, good in MOJIBAKE_MAP:
+        naive = naive.str.replace(bad, good, regex=False)
+    assert fixed.equals(naive)
+
+
+def test_text_features_fast_equals_naive():
+    from bytefreq_spark.quality import text_features, text_features_naive
+
+    s = _series()
+    a, b = text_features(s), text_features_naive(s)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_collapse_runs_equals_regex():
+    import re
+
+    from bytefreq_spark.masks import collapse_runs_series
+
+    vals = [
+        "", "x", "aaa", "aAAbb99  --", "a\n\n\nb", "ab  cd",
+        "😀😀😀x😀", "  lead", "trail  ", "\t\t", "a" * 5000,
+        "интервал    пробел", None,
+    ]
+    s = pd.Series(vals, dtype=object)
+    pat = re.compile(r"(.)\1+", re.DOTALL)
+    expected = s.fillna("").str.replace(pat, r"\1", regex=True)
+    expected = expected.mask(expected == "", "_")
+    assert collapse_runs_series(s.fillna("")).equals(expected)

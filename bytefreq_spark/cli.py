@@ -43,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--render", action="store_true",
                     help="reference stdout report layout instead of show()")
 
+    cf = sub.add_parser("charfreq", help="CP char-frequency report (reference -r CP)")
+    cf.add_argument("--input", required=True)
+    cf.add_argument("--column", required=True)
+    cf.add_argument("--output", default=None, help="parquet out (default: stdout report)")
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -86,6 +91,16 @@ def main(argv: list[str] | None = None) -> int:
             print(render_dq_report(rep, examined_rows=df.count(), timestamp=ts))
         else:
             rep.show(200, truncate=40)
+    elif args.cmd == "charfreq":
+        from .profile import char_histogram_named, render_cp_report
+
+        df = spark.read.parquet(args.input)
+        named = char_histogram_named(df, args.column)
+        if args.output:
+            named.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"output": args.output}))
+        else:
+            print(render_cp_report(named))
 
     spark.stop()
     return 0

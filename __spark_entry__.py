@@ -300,6 +300,41 @@ def q_simhash_hamming(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_streaming_mask_freq(spark, sf_dir):
+    """Structured-Streaming surface: a REAL streaming query (file source →
+    watermarked windowed mask-frequency agg → memory sink, availableNow
+    trigger) whose bounded result is DuckDB-oracle-checkable: Spark's
+    epoch-aligned window() == DuckDB time_bucket for 60-minute buckets."""
+    from bytefreq_spark.streaming.profile_stream import streaming_mask_frequency
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source needs a DIRECTORY; stage the (read-only) file
+    # into a temp dir via symlink
+    stage_dir = _tmp_path(sf_dir, "stream_events")
+    os.makedirs(stage_dir, exist_ok=True)
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(schema).parquet(stage_dir)
+    # watermarks need TIMESTAMP (with tz); parquet stores TIMESTAMP_NTZ —
+    # the session-UTC cast matches DuckDB's naive timestamp semantics
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = streaming_mask_frequency(
+        stream, "event_type", "LU", ts_col="ts",
+        window="60 minutes", watermark="0 seconds",
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("smf_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table("smf_out").select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+        "column", "pattern", F.col("count").alias("cnt"),
+    )
+
+
 def q_quality_filter_transcripts(spark, sf_dir):
     from bytefreq_spark.pipeline import quality_filter
     from bytefreq_spark.synth import gen_transcripts_spark
@@ -647,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_groups": q_simhash_groups,
         "simhash_hamming": q_simhash_hamming,
+        "streaming_mask_freq": q_streaming_mask_freq,
         "quality_filter_transcripts": q_quality_filter_transcripts,
         "multimodal_features": q_multimodal_features,
         "ann_lsh": q_ann_lsh,
@@ -936,6 +972,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(event_type, '')) AS c FROM events)
             LEFT JOIN names ON unicode(c) = cp
             WHERE c <> '' GROUP BY 1, 2
+        """,
+        "streaming_mask_freq": f"""
+            SELECT strftime(time_bucket(INTERVAL '60 minutes', ts),
+                            '%Y-%m-%d %H:%M') AS win_start,
+                   'event_type' AS "column",
+                   {duckdb_mask_sql("event_type", "LU")} AS pattern,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2, 3
         """,
         "mask_freq_awk_l": f"""
             SELECT 'c_name' AS "column", {duckdb_mask_sql("c_name", "AWK_L")} AS pattern,

@@ -300,6 +300,76 @@ def q_simhash_hamming(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_pairwise_topk(spark, sf_dir):
+    """Embedding near-dup: top-k neighbors for a probe set (broadcast probes,
+    one scan, per-probe window rank)."""
+    from bytefreq_spark.similarity import pairwise_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = [r["vec_id"] for r in emb.orderBy("vec_id").limit(3).collect()]
+    return pairwise_topk(emb, probes, k=5).select(
+        "probe_id", "vec_id", "cosine", "rank"
+    )
+
+
+def _stateful_input(spark, sf_dir):
+    """Deterministic transcript-shaped frame derived from documents, with
+    planted consecutive-duplicate turns (every turn_idx%3==2 repeats its
+    predecessor) — reproducible in SQL for the oracle."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    b = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        "text",
+    )
+    prev = b.select(
+        (F.col("doc_id") + 50).alias("doc_id"), F.col("text").alias("prev_text")
+    )
+    return (
+        b.join(prev, "doc_id", "left")
+        .select(
+            "conv_id", "turn_idx", F.lit("user").alias("role"),
+            F.when(
+                (F.col("turn_idx") % 3 == 2) & F.col("prev_text").isNotNull(),
+                F.col("prev_text"),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+
+
+def q_stateful_dedup_stream(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState) in the
+    driver contract: single-batch availableNow run over a staged file, so
+    the cross-batch dup flags reduce to in-batch lag semantics — which a
+    SQL window oracle can check exactly."""
+    from bytefreq_spark.streaming.stateful_dedup import stateful_dedup_stream
+
+    inp = _stateful_input(spark, sf_dir)
+    stage_dir = _tmp_path(sf_dir, "stateful_in")
+    inp.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(inp.schema).parquet(stage_dir)
+    out = stateful_dedup_stream(stream)
+    q = (
+        out.writeStream.format("memory").queryName("stateful_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    # ProcessingTimeTimeout keeps an availableNow query alive in state-cleanup
+    # epochs forever (processAllAvailable hangs too) — poll the sink until all
+    # input rows have landed, then stop.
+    import time as _time
+
+    expected = inp.count()
+    deadline = _time.time() + 180
+    while (_time.time() < deadline
+           and spark.table("stateful_out").count() < expected):
+        _time.sleep(1)
+    q.stop()
+    return spark.table("stateful_out").select(
+        "conv_id", "turn_idx", "role", "text", "is_dup"
+    )
+
+
 def q_streaming_mask_freq(spark, sf_dir):
     """Structured-Streaming surface: a REAL streaming query (file source →
     watermarked windowed mask-frequency agg → memory sink, availableNow
@@ -682,6 +752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_groups": q_simhash_groups,
         "simhash_hamming": q_simhash_hamming,
+        "pairwise_topk": q_pairwise_topk,
+        "stateful_dedup_stream": q_stateful_dedup_stream,
         "streaming_mask_freq": q_streaming_mask_freq,
         "quality_filter_transcripts": q_quality_filter_transcripts,
         "multimodal_features": q_multimodal_features,
@@ -972,6 +1044,43 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(event_type, '')) AS c FROM events)
             LEFT JOIN names ON unicode(c) = cp
             WHERE c <> '' GROUP BY 1, 2
+        """,
+        "pairwise_topk": """
+            WITH probes AS (
+              SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+              ORDER BY vec_id LIMIT 3
+            )
+            SELECT p.probe_id, e.vec_id,
+                   round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])), 6)
+                     AS cosine,
+                   row_number() OVER (
+                     PARTITION BY p.probe_id
+                     ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) DESC,
+                       e.vec_id ASC) AS rank
+            FROM embeddings e JOIN probes p ON e.vec_id <> p.probe_id
+            QUALIFY rank <= 5
+        """,
+        "stateful_dedup_stream": """
+            WITH b AS (
+              SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+                     CAST(doc_id // 50 AS INT) AS turn_idx, text
+              FROM documents
+            ), p AS (
+              SELECT b.*, pb.text AS prev_text
+              FROM b LEFT JOIN b pb ON pb.doc_id = b.doc_id - 50
+            ), w AS (
+              SELECT conv_id, turn_idx, 'user' AS role,
+                     CASE WHEN turn_idx % 3 = 2 AND prev_text IS NOT NULL
+                          THEN prev_text ELSE text END AS text
+              FROM p
+            )
+            SELECT conv_id, turn_idx, role, text,
+                   (coalesce(text = lag(text) OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx), false)
+                    AND text <> '') AS is_dup
+            FROM w
         """,
         "streaming_mask_freq": f"""
             SELECT strftime(time_bucket(INTERVAL '60 minutes', ts),

@@ -48,7 +48,17 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # ProcessingTimeTimeout keeps an availableNow query in state-cleanup
+    # epochs forever (awaitTermination silently burned its full 180s timeout
+    # every run; processAllAvailable hangs outright) — poll the sink for the
+    # expected 6 rows, then stop.
+    import time as _time
+
+    deadline = _time.time() + 120
+    while (_time.time() < deadline
+           and spark.sql("select count(*) from dedup_out").collect()[0][0] < 6):
+        _time.sleep(1)
+    q.stop()
     rows = {(r["conv_id"], r["turn_idx"]): r["is_dup"]
             for r in spark.sql("select * from dedup_out").collect()}
     assert len(rows) == 6

@@ -416,6 +416,26 @@ def q_quality_filter_transcripts(spark, sf_dir):
     )
 
 
+def q_checkpoint_resume(spark, sf_dir):
+    """S9: snapshot checkpoint/resume — run the checkpointed pipeline twice
+    against the same config; the second run resumes from the manifest-valid
+    snapshots instead of recomputing (asserted in test_checkpoint_resume;
+    here the driver exercises the real write→manifest→reload path)."""
+    import shutil
+
+    from bytefreq_spark.pipeline import run_with_checkpoints
+    from bytefreq_spark.synth import gen_transcripts_spark
+
+    out_dir = _tmp_path(sf_dir, "ckpt_resume")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    tr = gen_transcripts_spark(spark, 60)
+    run_with_checkpoints(spark, tr, out_dir, salt_partitions=8)
+    labels = run_with_checkpoints(spark, tr, out_dir, salt_partitions=8)
+    return labels.select(
+        "conv_id", "turn_idx", "keep", "drop_reason"
+    ).orderBy("conv_id", "turn_idx")
+
+
 def q_multimodal_features(spark, sf_dir):
     from bytefreq_spark.multimodal import extract_features, synth_media
 
@@ -756,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_dedup_stream": q_stateful_dedup_stream,
         "streaming_mask_freq": q_streaming_mask_freq,
         "quality_filter_transcripts": q_quality_filter_transcripts,
+        "checkpoint_resume": q_checkpoint_resume,
         "multimodal_features": q_multimodal_features,
         "ann_lsh": q_ann_lsh,
     }

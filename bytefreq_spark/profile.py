@@ -64,6 +64,7 @@ def mask_frequency(
     columns: list[str] | None = None,
     grain: str = "LU",
     examples: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """``(column, pattern, count[, example])`` — one row per (column, mask).
 
@@ -71,19 +72,32 @@ def mask_frequency(
     north star; the output is small (low-cardinality masks) and is what gets
     broadcast as the mask-frequency dictionary downstream (J4).
 
+    ``impl``: ``"arrow"`` (default) masks via the vectorized pandas UDF —
+    measured 2.2× faster than the ``"native"`` JVM regexp chain at sf0.1
+    (translate table + numpy collapse vs 8 regex passes); both surfaces are
+    equivalence-tested char-for-char (test_masks).  The pipeline's frequency
+    dictionary intentionally stays native (JVM-only rescan, zero Python —
+    see pipeline.with_mask_key).
+
     Scale note: ``min(raw)`` on a string has an immutable aggregation buffer,
     which forces Catalyst to a **SortAggregate** (per-partition sort of the
     melted data).  ``examples=False`` keeps the plan a pure partial+final
     HashAggregate — use it wherever the example column isn't needed (e.g.
     the pipeline's frequency dictionary).
     """
+    from .masks import mask_pandas_udf
+
     long = melt(df, columns)
+    masked_col = (
+        mask_pandas_udf(grain)(F.col("raw")) if impl == "arrow"
+        else mask_col(F.col("raw"), grain)
+    )
     # M5 (main.rs:34-36): values under a ``.Rules.`` path are rule outputs —
     # identity mask, so enhanced output can be re-profiled without
     # double-masking
     pattern = F.when(
         F.col("column").contains(".Rules."), F.col("raw")
-    ).otherwise(mask_col(F.col("raw"), grain))
+    ).otherwise(masked_col)
     masked = long.select("column", pattern.alias("pattern"), "raw")
     aggs = [F.count("*").alias("count")]
     if examples:
@@ -96,11 +110,12 @@ def dq_report(
     columns: list[str] | None = None,
     grain: str = "LU",
     top_k: int | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Report-ordered frequency table: columns in schema order, masks by
     count desc (main.rs:1087-1099), with per-column rank; optional top-k."""
     cols = columns or df.columns
-    freq = mask_frequency(df, cols, grain)
+    freq = mask_frequency(df, cols, grain, impl=impl)
     idx = F.create_map(
         *[x for i, c in enumerate(cols) for x in (F.lit(c), F.lit(i))]
     )

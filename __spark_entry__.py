@@ -200,6 +200,24 @@ def q_dedup_exact_summary(spark, sf_dir):
     )
 
 
+def q_dedup_exact_kept(spark, sf_dir):
+    """Exact dedup end-to-end: planted duplicate corpus → min-id survivors."""
+    from bytefreq_spark.dedup import dedup_exact
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    both = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    return dedup_exact(both).select("doc_id").orderBy("doc_id")
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    """Duplicate classes: (digest, n_dups, keep_id) over the planted corpus."""
+    from bytefreq_spark.dedup import exact_dup_groups
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    both = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    return exact_dup_groups(both).orderBy("digest")
+
+
 def q_near_dup_truth_pairs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("t_a"))
@@ -745,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_segment": q_revenue_by_segment,
         "top_orders_window": q_top_orders_window,
         "dedup_exact_summary": q_dedup_exact_summary,
+        "dedup_exact_kept": q_dedup_exact_kept,
+        "exact_dup_groups": q_exact_dup_groups,
         "near_dup_truth_pairs": q_near_dup_truth_pairs,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -911,6 +931,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_summary": """
             SELECT count(DISTINCT md5(text)) AS n_distinct, count(*) AS n_rows
             FROM documents
+        """,
+        "dedup_exact_kept": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 100000, text FROM documents
+            )
+            SELECT min(doc_id) AS doc_id FROM u
+            GROUP BY md5(text) ORDER BY 1
+        """,
+        "exact_dup_groups": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 100000, text FROM documents
+            )
+            SELECT md5(text) AS digest, count(*) AS n_dups,
+                   min(doc_id) AS keep_id
+            FROM u GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
         """,
         "near_dup_truth_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b

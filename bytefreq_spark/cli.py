@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
 
     pr = sub.add_parser("profile", help="bytefreq DQ pattern profile")
     pr.add_argument("--input", required=True)
+    pr.add_argument("--format", dest="in_format", default="parquet",
+                    choices=["parquet", "json", "delimited", "csv"],
+                    help="json = NDJSON dot-path flatten w/ M6 quoting; "
+                         "delimited = naive-split w/ RaggedErr; csv = RFC 4180")
+    pr.add_argument("--delimiter", default="|")
+    pr.add_argument("--header-row", type=int, default=1)
     pr.add_argument("--columns", default=None, help="comma-separated (default: all)")
     pr.add_argument("--grain", default="LU",
                     choices=["H", "L", "HU", "LU", "AWK_H", "AWK_L"])
@@ -47,6 +53,18 @@ def main(argv: list[str] | None = None) -> int:
     cf.add_argument("--input", required=True)
     cf.add_argument("--column", required=True)
     cf.add_argument("--output", default=None, help="parquet out (default: stdout report)")
+
+    en = sub.add_parser("enhance", help="enhanced per-field output (reference -e/-E)")
+    en.add_argument("--input", required=True, help="parquet input")
+    en.add_argument("--columns", default=None, help="comma-separated (default: all)")
+    en.add_argument("--flat", action="store_true",
+                    help="-E: flatten to dotted keys instead of structs")
+    en.add_argument("--include-latlon", action="store_true",
+                    help="enable the reference-disabled F9 lat/lon rules")
+    en.add_argument("--output", default=None,
+                    help="parquet out (default: NDJSON to stdout, like the reference)")
+    en.add_argument("--limit", type=int, default=None,
+                    help="cap rows for stdout NDJSON")
 
     args = p.parse_args(argv)
 
@@ -76,7 +94,29 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "profile":
         from .profile import dq_report
 
-        df = spark.read.parquet(args.input)
+        if args.in_format == "json":
+            from .sources.json_flatten import profile_json
+
+            df = spark.read.json(args.input)
+            rep = profile_json(df, grain=args.grain).orderBy("column", "pattern")
+            # profile_json already yields the frequency table (dot-path cols)
+            if args.output:
+                rep.write.mode("overwrite").parquet(args.output)
+                print(json.dumps({"output": args.output}))
+            else:
+                rep.show(200, truncate=40)
+            spark.stop()
+            return 0
+        if args.in_format == "delimited":
+            from .sources.tabular import read_delimited
+
+            df = read_delimited(spark, args.input, args.delimiter, args.header_row)
+        elif args.in_format == "csv":
+            from .sources.tabular import read_csv_rfc4180
+
+            df = read_csv_rfc4180(spark, args.input, args.delimiter)
+        else:
+            df = spark.read.parquet(args.input)
         cols = args.columns.split(",") if args.columns else None
         rep = dq_report(df, cols, args.grain, args.top_k)
         if args.output:
@@ -91,6 +131,20 @@ def main(argv: list[str] | None = None) -> int:
             print(render_dq_report(rep, examined_rows=df.count(), timestamp=ts))
         else:
             rep.show(200, truncate=40)
+    elif args.cmd == "enhance":
+        from .rules import enhanced, enhanced_flat
+
+        df = spark.read.parquet(args.input)
+        cols = args.columns.split(",") if args.columns else None
+        out = (enhanced_flat(df, cols) if args.flat
+               else enhanced(df, cols, include_latlon=args.include_latlon))
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"output": args.output}))
+        else:
+            rows = (out.limit(args.limit) if args.limit else out).toJSON().collect()
+            for r in rows:
+                print(r)
     elif args.cmd == "charfreq":
         from .profile import char_histogram_named, render_cp_report
 

@@ -1,0 +1,97 @@
+"""Property-based differential tests (hypothesis) over the pure kernels.
+
+No Spark here — these hammer the pandas/Python surfaces with adversarial
+unicode so the fast paths can never drift from their naive formulations on
+inputs nobody thought to hand-write. SURVEY §5.2(4).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bytefreq_spark.masks import (
+    awk_mask_series,
+    awk_mask_str,
+    collapse_runs_series,
+    mask_series,
+    mask_str,
+)
+
+# full unicode incl. astral, control chars, surrogate-free
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+BATCH = st.lists(TEXT, min_size=0, max_size=30)
+
+
+@settings(max_examples=150, deadline=None)
+@given(BATCH)
+def test_mask_series_equals_mask_str(vals):
+    s = pd.Series(vals, dtype=object)
+    for grain in ("H", "L", "HU", "LU"):
+        got = mask_series(s, grain).tolist()
+        want = [mask_str(v, grain) for v in vals]
+        assert got == want, grain
+
+
+@settings(max_examples=150, deadline=None)
+@given(BATCH)
+def test_collapse_runs_equals_regex(vals):
+    s = pd.Series(vals, dtype=object).fillna("")
+    pat = re.compile(r"(.)\1+", re.DOTALL)
+    expected = s.str.replace(pat, r"\1", regex=True)
+    expected = expected.mask(expected == "", "_")
+    assert collapse_runs_series(s).tolist() == expected.tolist()
+
+
+@settings(max_examples=150, deadline=None)
+@given(BATCH)
+def test_awk_series_equals_awk_str(vals):
+    s = pd.Series(vals, dtype=object)
+    for grain in ("H", "L"):
+        got = awk_mask_series(s, grain).tolist()
+        want = [awk_mask_str(v, grain) for v in vals]
+        assert got == want, grain
+
+
+@settings(max_examples=100, deadline=None)
+@given(BATCH)
+def test_scrub_fast_equals_naive_property(vals):
+    from bytefreq_spark.scrub import scrub_series, scrub_series_naive
+
+    s = pd.Series(vals, dtype=object)
+    assert scrub_series(s).tolist() == scrub_series_naive(s).tolist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(BATCH)
+def test_langid_fast_equals_naive_property(vals):
+    from bytefreq_spark.langid import detect_language, detect_language_naive
+
+    s = pd.Series(vals, dtype=object)
+    assert detect_language(s).tolist() == detect_language_naive(s).tolist()
+
+
+@settings(max_examples=80, deadline=None)
+@given(BATCH)
+def test_text_features_fast_equals_naive_property(vals):
+    from bytefreq_spark.quality import text_features, text_features_naive
+
+    s = pd.Series(vals, dtype=object)
+    pd.testing.assert_frame_equal(text_features(s), text_features_naive(s))
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXT)
+def test_mask_properties(v):
+    # idempotence of per-char grains; LU == collapse(HU); count preservation
+    assert mask_str(mask_str(v, "H"), "H") == mask_str(v, "H")
+    assert mask_str(mask_str(v, "HU"), "HU") == mask_str(v, "HU")
+    hu = mask_str(v, "HU")
+    lu_expect = re.sub(r"(.)\1+", r"\1", hu, flags=re.DOTALL) or "_"
+    assert mask_str(v, "LU") == lu_expect
+    assert len(mask_str(v, "H")) == len(v)

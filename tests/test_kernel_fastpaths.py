@@ -114,3 +114,36 @@ def test_collapse_runs_equals_regex():
     expected = s.fillna("").str.replace(pat, r"\1", regex=True)
     expected = expected.mask(expected == "", "_")
     assert collapse_runs_series(s.fillna("")).equals(expected)
+
+
+def test_minhash_fast_equals_naive():
+    import numpy as np
+
+    from bytefreq_spark.dedup import (
+        _hash_params, _minhash_batch, _minhash_batch_naive,
+    )
+
+    a, b = _hash_params(64, 42)
+    extra = pd.Series(
+        ["", None, "ab", "abcd", "abcde", "abcdef", "aaaaaaaaaa",
+         "😀😁😂🤣😃😄", "é" * 4, "é" * 5, "\x00" * 6, " ", "xyz" * 300],
+        dtype=object,
+    )
+    s = pd.concat([_series(), extra], ignore_index=True)
+    fast = _minhash_batch(s, a, b, 5)
+    naive = _minhash_batch_naive(s, a, b, 5)
+    assert len(fast) == len(naive) == len(s)
+    for f, nv in zip(fast, naive):
+        assert np.array_equal(f, nv)
+    # shingle widths other than the default exercise the short-row gather
+    for sh in (2, 3, 8):
+        for f, nv in zip(_minhash_batch(s, a, b, sh),
+                         _minhash_batch_naive(s, a, b, sh)):
+            assert np.array_equal(f, nv)
+
+
+def test_minhash_empty_batch():
+    from bytefreq_spark.dedup import _hash_params, _minhash_batch
+
+    a, b = _hash_params(8, 1)
+    assert _minhash_batch(pd.Series([], dtype=object), a, b, 5) == []

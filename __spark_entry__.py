@@ -275,6 +275,41 @@ def q_ivf_topk(spark, sf_dir):
 # -- non-SQL-expressible (rows-only checks) ---------------------------------
 
 
+def q_ivf_partitioned_topk(spark, sf_dir):
+    """IVF against the MATERIALIZED ``partitionBy(ivf_cluster)`` layout with
+    a pruned probe read (n_probe=3 of 8) — the 100 TB search path for real.
+    Oracle: DuckDB brute-force over the same staged layout restricted to the
+    staged probe list, verifying the written assignments, the pruned read,
+    rescoring and ordering end-to-end (partition pruning itself is asserted
+    on the plan + scanned-file evidence in test_ivf_partitioned_pruning)."""
+    from bytefreq_spark.similarity import (
+        ivf_query_clusters,
+        ivf_topk_partitioned,
+        ivf_train_centroids,
+        ivf_write_partitioned,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    cents = ivf_train_centroids(emb, n_centroids=8)
+    ivf_write_partitioned(emb, cents, IVF_LAYOUT_DIR)
+    probes = ivf_query_clusters(cents, qvec, 3)
+    spark.createDataFrame([(int(p),) for p in probes], "cluster int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(IVF_PROBES_DIR)
+    spark.createDataFrame([(qvec,)], "embedding array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(IVF_QUERY_DIR)
+    return ivf_topk_partitioned(spark, IVF_LAYOUT_DIR, qvec, cents, k=10, n_probe=3)
+
+
+# fixed paths (no sf suffix): the oracle SQL below reads the same staged
+# artifacts the Spark query wrote earlier in the same process
+IVF_LAYOUT_DIR = "/tmp/bytefreq_r3_ivf_layout"
+IVF_PROBES_DIR = "/tmp/bytefreq_r3_ivf_probes"
+IVF_QUERY_DIR = "/tmp/bytefreq_r3_ivf_query"
+
+
 def q_langid_docs(spark, sf_dir):
     from bytefreq_spark.textstats import with_langid
 
@@ -771,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_partitioned_topk": q_ivf_partitioned_topk,
         "doubled_columns": q_doubled_columns,
         "byte_histogram": q_byte_histogram,
         "json_profile_props": q_json_profile_props,
@@ -1177,6 +1213,20 @@ def oracle_sql() -> dict[str, str]:
                      CAST(e.embedding AS DOUBLE[]),
                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine
             FROM embeddings e, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "ivf_partitioned_topk": f"""
+            WITH q AS (
+              SELECT embedding FROM read_parquet('{IVF_QUERY_DIR}/*.parquet')
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+            FROM read_parquet('{IVF_LAYOUT_DIR}/*/*.parquet',
+                              hive_partitioning=1) e, q
+            WHERE e.ivf_cluster IN (
+              SELECT cluster FROM read_parquet('{IVF_PROBES_DIR}/*.parquet'))
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "ivf_topk": """

@@ -150,9 +150,58 @@ def ivf_assignments(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Vectors + their IVF cluster id.  At 100 TB: materialize this once
-    (``.write.partitionBy('ivf_cluster')``) so each query's bucket scan is a
-    partition-pruned read instead of a full pass."""
+    via ``ivf_write_partitioned`` so each query's bucket scan is a
+    partition-pruned read (``ivf_topk_partitioned``) instead of a full pass."""
     return df.withColumn("ivf_cluster", ivf_assign_udf(centroids)(F.col(vec_col)))
+
+
+def ivf_query_clusters(
+    centroids: np.ndarray, query_vec: list[float], n_probe: int,
+) -> list[int]:
+    """The ``n_probe`` centroid ids nearest the query (driver-side numpy —
+    the model is dimension-table sized)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(d)[:n_probe]]
+
+
+def ivf_write_partitioned(
+    df: DataFrame, centroids: np.ndarray, path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-clustered layout: assign once, write one parquet
+    partition per cluster.  This is the 100 TB indexing job — run once;
+    every subsequent ``ivf_topk_partitioned`` query then reads ONLY its
+    probed clusters via partition pruning (never a full scan)."""
+    (
+        ivf_assignments(df, centroids, vec_col)
+        .write.partitionBy("ivf_cluster")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_topk_partitioned(
+    spark, path: str, query_vec: list[float], centroids: np.ndarray,
+    k: int = 10, n_probe: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search against the materialized clustered layout.
+
+    The ``ivf_cluster IN (probes)`` filter is a partition-directory predicate,
+    so Catalyst plans it as **PartitionFilters** on the scan: non-probed
+    clusters contribute zero files to the read (asserted on the plan AND on
+    the scan's file count in test_ivf_partitioned_pruning; audited in
+    docs/PLANS.md).  At 100 TB with n_probe/n_centroids = 4/1024 a query
+    touches ~0.4% of the data instead of all of it."""
+    probes = ivf_query_clusters(centroids, query_vec, n_probe)
+    cands = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probes))
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = cands.select(
+        F.col(id_col),
+        F.round(cosine_sim_col(F.col(vec_col), qlit), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
 def ivf_topk(
@@ -171,9 +220,7 @@ def ivf_topk(
         centroids = ivf_train_centroids(
             df, n_centroids, vec_col, id_col, seed=seed
         )
-    q = np.asarray(query_vec, dtype=np.float64)
-    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
-    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+    probes = ivf_query_clusters(centroids, query_vec, n_probe)
 
     assigned = ivf_assignments(df, centroids, vec_col)
     cands = assigned.filter(F.col("ivf_cluster").isin(probes))

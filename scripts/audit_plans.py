@@ -108,6 +108,46 @@ def main():
         ("rank filter applied", lambda p: "rn" in p),
     ])
 
+    # 6. IVF materialized layout: the probe read must be partition-pruned
+    # (the 100 TB search path — only probed cluster directories are listed)
+    from bytefreq_spark.similarity import (
+        ivf_query_clusters, ivf_topk_partitioned, ivf_train_centroids,
+        ivf_write_partitioned,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = ivf_train_centroids(emb, n_centroids=8)
+    layout = "/tmp/bytefreq_plan_audit_ivf"
+    ivf_write_partitioned(emb, cents, layout)
+    qvec = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    pruned = ivf_topk_partitioned(spark, layout, qvec, cents, k=10, n_probe=3)
+    n_probes = len(ivf_query_clusters(cents, qvec, 3))
+    audit("ivf_partitioned_probe", pruned, [
+        ("ivf_cluster isin lands as PartitionFilters on the scan",
+         lambda p: "PartitionFilters" in p
+         and "ivf_cluster" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]),
+        ("no post-scan filter on ivf_cluster (pruning, not filtering)",
+         lambda p: not re.search(r"^\(\d+\) Filter.*ivf_cluster", p, re.M)),
+        ("top-k planned as TakeOrderedAndProject (no global sort)",
+         lambda p: "TakeOrderedAndProject" in p),
+    ])
+    # input_file_name() is only meaningful in the scan stage (it comes back
+    # empty above an exchange) — evaluate it on the pruned scan directly
+    from pyspark.sql import functions as F2
+    probed = set(ivf_query_clusters(cents, qvec, 3))
+    files = [r[0] for r in spark.read.parquet(layout).filter(
+        F2.col("ivf_cluster").isin([int(c) for c in probed])).select(
+        F2.input_file_name()).distinct().collect()]
+    file_ok = bool(files) and all(
+        any(f"ivf_cluster={c}/" in f for c in probed) for f in files)
+    sections.append((
+        "ivf_partitioned_probe_files",
+        "scanned files:\n" + "\n".join(files),
+        [(f"scan touched only the {n_probes} probed cluster dirs", file_ok)],
+    ))
+    print(f"{'PASS' if file_ok else 'FAIL'} ivf_partitioned_probe_files: "
+          f"scan touched only the {n_probes} probed cluster dirs")
+
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("# Physical-plan audit (generated by scripts/audit_plans.py)\n\n")

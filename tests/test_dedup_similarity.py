@@ -327,3 +327,70 @@ def test_cosine_zero_vector_yields_null_not_crash(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {r["vec_id"]: r["cosine"] for r in cosine_topk(df, [1.0, 0, 0, 0], k=3).collect()}
     assert out[1] == 1.0 and out[2] == 0.0 and out[0] is None
+
+
+def test_ivf_partitioned_pruning(spark, tmp_path):
+    """The documented 100 TB path, exercised for real: materialize the
+    partitionBy(ivf_cluster) layout, query it with a pruned probe read, and
+    assert (a) PartitionFilters on the scan plan, (b) the scan physically
+    touched ONLY probed cluster directories (input_file_name evidence),
+    (c) recall vs brute force on clustered data, (d) exact degradation when
+    every cluster is probed."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bytefreq_spark.similarity import (
+        cosine_topk,
+        ivf_query_clusters,
+        ivf_topk_partitioned,
+        ivf_train_centroids,
+        ivf_write_partitioned,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((8, 16)) * 5.0
+    rows = []
+    for i in range(800):
+        v = centers[i % 8] + rng.standard_normal(16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_train_centroids(df, n_centroids=8)
+    layout = str(tmp_path / "ivf_layout")
+    ivf_write_partitioned(df, cents, layout)
+
+    q = rows[3][1]
+    probes = set(ivf_query_clusters(cents, q, 2))
+    pruned = ivf_topk_partitioned(spark, layout, q, cents, k=10, n_probe=2)
+
+    # (a) the isin filter lands as a partition filter, not a data filter
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+
+    # (b) only probed cluster directories are ever read
+    cands = spark.read.parquet(layout).filter(
+        F.col("ivf_cluster").isin([int(p) for p in probes])
+    )
+    files = [r[0] for r in cands.select(F.input_file_name()).distinct().collect()]
+    assert files
+    assert all(any(f"ivf_cluster={p}/" in f for p in probes) for f in files)
+    assert not any(
+        f"ivf_cluster={c}/" in f for f in files for c in set(range(8)) - probes
+    )
+
+    # (c) pruned search still recovers the exact neighbors on clustered data
+    brute = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    got = [r["vec_id"] for r in pruned.collect()]
+    assert len(set(brute) & set(got)) >= 9
+
+    # (d) probing every cluster degrades to the exact brute-force answer
+    full = ivf_topk_partitioned(spark, layout, q, cents, k=10, n_probe=8)
+    assert [(r["vec_id"], r["cosine"]) for r in full.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in cosine_topk(df, q, k=10).collect()
+    ]

@@ -822,8 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_histogram_named": q_char_histogram_named,
         "mask_freq_awk_l": q_mask_freq_awk_l,
         "q3_top_revenue": q_q3_top_revenue,
-        # rows-only (no SQL equivalent)
         "reservoir_examples": q_reservoir_examples,
+        # rows-only (no SQL equivalent)
         "langid_docs": q_langid_docs,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_groups": q_simhash_groups,
@@ -1188,6 +1188,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'c_name' AS "column", {duckdb_mask_sql("c_name", "AWK_L")} AS pattern,
                    count(*) AS cnt, min(c_name) AS example
             FROM customer GROUP BY 1, 2
+        """,
+        "reservoir_examples": f"""
+            SELECT 'o_orderpriority' AS "column",
+                   {duckdb_mask_sql("o_orderpriority", "LU")} AS pattern,
+                   count(*) AS cnt,
+                   arg_min(o_orderpriority, md5(o_orderpriority || '42'))
+                     AS example
+            FROM orders GROUP BY 1, 2
         """,
         "q3_top_revenue": """
             SELECT l_orderkey,

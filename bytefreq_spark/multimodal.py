@@ -36,6 +36,11 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise NotImplementedError("image codecs not present; use fake_features")
 
 
+def decode_audio(payload: bytes) -> np.ndarray:
+    """Real decode requires an audio codec — not available in this container."""
+    raise NotImplementedError("audio codecs not present; use fake_features")
+
+
 def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in feature extractor: sha256-seeded vector.
     Keeps the whole pipeline testable end-to-end without codecs."""

@@ -138,9 +138,11 @@ def reservoir_examples(
     seed: int = 42,
 ) -> DataFrame:
     """Faithful single-example reservoir (Algorithm-R k=1, main.rs:185-189),
-    made deterministic by seeding: pick the row with min xxhash64(raw, seed)
+    made deterministic by seeding: pick the row with min md5(raw || seed)
     per (column, pattern) — an unbiased uniform choice, reproducible across
     partitionings (unlike the reference's arrival-order-dependent reservoir).
+    md5 (not xxhash64) so DuckDB can replicate the tiebreak exactly:
+    ``arg_min(raw, md5(raw || seed))`` — the driver entry is fully oracled.
     """
     long = melt(df, columns)
     masked = long.select(
@@ -148,7 +150,7 @@ def reservoir_examples(
     )
     return masked.groupBy("column", "pattern").agg(
         F.count("*").alias("count"),
-        F.min_by("raw", F.xxhash64("raw", F.lit(seed))).alias("example"),
+        F.min_by("raw", F.md5(F.concat("raw", F.lit(str(seed))))).alias("example"),
     )
 
 

@@ -94,6 +94,47 @@ def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+# above this many literal terms (n_planes × dim) the native expression tree
+# becomes a whole-stage-codegen risk (e.g. 16 planes × 1536 dims ≈ 25k nodes)
+# → route through the Arrow matmul UDF instead (same shape as ivf_assign_udf)
+LSH_NATIVE_MAX_TERMS = 1024
+
+
+def hyperplane_signature_udf(planes: np.ndarray):
+    """Arrow-vectorized hyperplane signature: one (batch × dim) @ (dim ×
+    n_planes) matmul per batch — the production-dim path (768-1536 dims)."""
+    p_t = planes.astype(np.float64).T.copy()
+    weights = np.left_shift(
+        np.uint64(1), np.arange(planes.shape[0], dtype=np.uint64)
+    )
+
+    @F.pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (x @ p_t) >= 0
+        out = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return pd.Series(out.astype(np.int64))
+
+    return sig
+
+
+def hyperplane_signatures(
+    df: DataFrame, planes: np.ndarray,
+    vec_col: str = "embedding", out_col: str = "_sig", impl: str = "auto",
+) -> DataFrame:
+    """Signature column with implementation routing: native expressions for
+    small plane×dim products (stays in codegen), Arrow matmul above
+    ``LSH_NATIVE_MAX_TERMS`` (equivalence-tested bit-for-bit at both dims)."""
+    if impl == "auto":
+        impl = "native" if planes.size <= LSH_NATIVE_MAX_TERMS else "arrow"
+    col = (
+        hyperplane_signature_col(vec_col, planes)
+        if impl == "native"
+        else hyperplane_signature_udf(planes)(F.col(vec_col))
+    )
+    return df.withColumn(out_col, col)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the clustered-data scale path
 # ---------------------------------------------------------------------------
@@ -236,6 +277,7 @@ def ann_lsh_topk(
     df: DataFrame, query_vec: list[float], k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",
     n_planes: int = 8, probe_radius: int = 2, seed: int = 42,
+    impl: str = "auto",
 ) -> DataFrame:
     """ANN: restrict the exact rescoring to vectors near the query's bucket.
 
@@ -262,7 +304,7 @@ def ann_lsh_topk(
                 flip |= 1 << b
             probe_sigs.append(qsig ^ flip)
 
-    with_sig = df.withColumn("_sig", hyperplane_signature_col(vec_col, planes))
+    with_sig = hyperplane_signatures(df, planes, vec_col, "_sig", impl)
     cands = with_sig.filter(F.col("_sig").isin(probe_sigs))
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = cands.select(

@@ -394,3 +394,51 @@ def test_ivf_partitioned_pruning(spark, tmp_path):
     assert [(r["vec_id"], r["cosine"]) for r in full.collect()] == [
         (r["vec_id"], r["cosine"]) for r in cosine_topk(df, q, k=10).collect()
     ]
+
+
+def test_lsh_signature_native_equals_arrow(spark):
+    """The Arrow-matmul signature path (production dims) must agree with the
+    native expression path at every dim — including dim 768 where the native
+    literal tree is a codegen risk and auto-routing picks Arrow."""
+    import numpy as np
+
+    from bytefreq_spark.similarity import (
+        LSH_NATIVE_MAX_TERMS, hyperplane_signatures, make_planes,
+    )
+
+    rng = np.random.RandomState(11)
+    for dim, n_planes in ((16, 8), (768, 12)):
+        rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        planes = make_planes(dim, n_planes, seed=5)
+        nat = {r["vec_id"]: r["_sig"] for r in
+               hyperplane_signatures(df, planes, impl="native").collect()}
+        arw = {r["vec_id"]: r["_sig"] for r in
+               hyperplane_signatures(df, planes, impl="arrow").collect()}
+        assert nat == arw, (dim, n_planes)
+        # auto routes by plane×dim product
+        auto = hyperplane_signatures(df, planes, impl="auto")
+        wants_arrow = planes.size > LSH_NATIVE_MAX_TERMS
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        assert ("ArrowEvalPython" in plan) == wants_arrow
+
+
+def test_ann_lsh_high_dim_runs_arrow(spark):
+    """ann_lsh_topk at production dims uses the Arrow path end-to-end and
+    still returns the planted nearest neighbor."""
+    import numpy as np
+
+    from bytefreq_spark.similarity import ann_lsh_topk
+
+    rng = np.random.RandomState(3)
+    dim = 768
+    base = rng.standard_normal(dim)
+    rows = [(0, [float(x) for x in base])]
+    rows += [(i, [float(x) for x in rng.standard_normal(dim)])
+             for i in range(1, 120)]
+    rows.append((999, [float(x) for x in base + rng.standard_normal(dim) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ann_lsh_topk(df, rows[0][1], k=3, n_planes=8, probe_radius=2)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert ids[0] == 0 and 999 in ids

@@ -117,6 +117,22 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                                 freq_source="persist"))
     timings["quality_filter_persist"] = round(time.time() - t0, 3)
     tr.unpersist()
+
+    # whale-skew stress (the north rule's skew claim): ONE 10^5-turn
+    # conversation among 2000 tiny ones.  Salted featurize + composite-key
+    # layout keep it moving; correctness at this shape is asserted in
+    # test_whale_conversation_stress — this row records the wall cost.
+    spark.catalog.clearCache()
+    whale = gen_transcripts_spark(spark, 2000, skew_every=2000,
+                                  skew_len=100_000).cache()
+    n_whale = whale.count()
+    t0 = time.time()
+    _materialize(quality_filter(whale, salt_partitions=CPUS * 2))
+    dtw = time.time() - t0
+    timings["quality_filter_whale"] = round(dtw, 3)
+    timings["_whale_turns"] = n_whale
+    timings["_whale_turns_per_sec"] = round(n_whale / dtw, 1)
+    whale.unpersist()
     return timings
 
 
@@ -138,6 +154,8 @@ def run_bench() -> dict:
         "cpus": CPUS,
         "turns": timings.get("_turns"),
         "turns_per_sec": timings.get("_turns_per_sec"),
+        "whale_turns": timings.get("_whale_turns"),
+        "whale_turns_per_sec": timings.get("_whale_turns_per_sec"),
     }
 
 

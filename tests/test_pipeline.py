@@ -183,3 +183,100 @@ def test_freq_source_persist_identical(spark, corpus_pdf):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_whale_conversation_stress(spark):
+    """The north rule's skew claim made falsifiable: ONE 10^5-turn whale
+    conversation among ~1200 tiny ones.  Asserts (a) the pipeline completes
+    and labels every turn, (b) the salted featurize stage is balanced (the
+    whale does NOT pin the expensive UDF work to one task), (c) the
+    window-lag dup path over the conversation layout agrees exactly with the
+    layout-free self-join path at whale scale."""
+    from pyspark.sql import functions as F
+
+    from bytefreq_spark.pipeline import (
+        featurize,
+        mask_frequency_dict,
+        quality_filter,
+        with_decision,
+        with_mask_frequency,
+        with_mask_key,
+        with_prev_turn,
+    )
+    from bytefreq_spark.synth import gen_transcripts_spark
+
+    tr = gen_transcripts_spark(
+        spark, 1200, skew_every=1200, skew_len=100_000, partitions=16
+    ).cache()
+    n = tr.count()
+    whale = tr.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    assert whale["count"] == 100_000  # the whale is really there
+    assert n < whale["count"] * 1.5   # ...and dominates the corpus
+
+    # (a) completes, labels every turn
+    out = quality_filter(tr, salt_partitions=16).cache()
+    assert out.count() == n
+    assert out.filter(F.col("keep").isNull()).count() == 0
+
+    # (b) round-robin salt balances the featurize stage: no partition holds
+    # more than ~2x its fair share even though one conversation is 80% of
+    # the corpus
+    feat = featurize(tr, salt_partitions=16)
+    sizes = [r["n"] for r in feat.groupBy(
+        F.spark_partition_id().alias("p")).agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 16
+    assert max(sizes) <= 2 * (n / 16), sizes
+
+    # (c) lag-over-layout dup path == skew-safe self-join dup path, at scale
+    freq = mask_frequency_dict(with_mask_key(tr))
+    alt = with_decision(
+        with_prev_turn(with_mask_frequency(featurize(tr, 16), freq))
+    ).select("conv_id", "turn_idx", "keep", "drop_reason")
+    main = out.select("conv_id", "turn_idx", "keep", "drop_reason")
+    assert main.exceptAll(alt).count() == 0
+    assert alt.exceptAll(main).count() == 0
+    tr.unpersist()
+    out.unpersist()
+
+
+def test_quality_filter_stream_matches_batch(spark, tmp_path):
+    """foreachBatch streaming quality filter (availableNow over a staged
+    directory): a single micro-batch must equal the batch pipeline exactly
+    (single batch ⇒ the intra-batch prev-turn join sees the whole input, so
+    the documented cross-batch dup limitation does not bite); a checkpointed
+    restart must be a no-op."""
+    from bytefreq_spark.pipeline import (
+        mask_frequency_dict, quality_filter, with_mask_key,
+    )
+    from bytefreq_spark.streaming.profile_stream import (
+        quality_filter_stream, read_transcript_stream,
+    )
+    from bytefreq_spark.synth import gen_transcripts_spark
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    gen_transcripts_spark(spark, 60).coalesce(1).write.parquet(in_dir)
+    batch_input = spark.read.parquet(in_dir)
+    freq = mask_frequency_dict(with_mask_key(batch_input))
+
+    def run_stream():
+        q = (
+            quality_filter_stream(
+                read_transcript_stream(spark, in_dir), out_dir, ckpt, freq,
+                salt_partitions=8,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    cols = ["conv_id", "turn_idx", "keep", "drop_reason", "scrubbed_text"]
+    got = spark.read.parquet(out_dir).select(cols)
+    want = quality_filter(batch_input, salt_partitions=8).select(cols)
+    assert got.count() == batch_input.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # restart against the same checkpoint: input already committed → no-op
+    run_stream()
+    assert spark.read.parquet(out_dir).count() == batch_input.count()

@@ -528,6 +528,17 @@ def q_byte_histogram(spark, sf_dir):
     return byte_histogram(cust, "c_mktsegment").withColumnRenamed("count", "cnt")
 
 
+def q_byte_histogram_named(spark, sf_dir):
+    """A8+J3: byte histogram enriched with the reconstructed 256-entry byte
+    dim (charfreq.awk's ref-table shape) via broadcast join."""
+    from bytefreq_spark.profile import byte_histogram_named
+
+    cust = _read(spark, sf_dir, "customer")
+    return byte_histogram_named(cust, "c_mktsegment").withColumnRenamed(
+        "count", "cnt"
+    )
+
+
 def q_json_profile_props(spark, sf_dir):
     """S5+M6: parse the events.props JSON strings, flatten to dot-paths,
     profile with JSON-quoting mask semantics."""
@@ -809,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_partitioned_topk": q_ivf_partitioned_topk,
         "doubled_columns": q_doubled_columns,
         "byte_histogram": q_byte_histogram,
+        "byte_histogram_named": q_byte_histogram_named,
         "json_profile_props": q_json_profile_props,
         "encoding_repair": q_encoding_repair,
         "ragged_columns": q_ragged_columns,
@@ -848,6 +860,19 @@ def _ascii_name_values_sql() -> str:
         name = unicodedata.name(chr(cp), "UNKNOWN").replace("'", "''")
         pairs.append(f"({cp}, '{name}')")
     return ", ".join(pairs)
+
+
+def _byte_dim_values_sql() -> str:
+    """VALUES list (byte, char, description) generated from the SAME
+    byte-dim builder the Spark query broadcasts (profile.byte_dim_rows)."""
+    from bytefreq_spark.profile import byte_dim_rows
+
+    vals = []
+    for b, _oct, _hex, _bin, ch, desc in byte_dim_rows():
+        ch_sql = ch.replace("'", "''")
+        desc_sql = desc.replace("'", "''")
+        vals.append(f"({b}, '{ch_sql}', '{desc_sql}')")
+    return ", ".join(vals)
 
 
 def _iso3_case_sql(expr: str) -> str:
@@ -1037,6 +1062,15 @@ def oracle_sql() -> dict[str, str]:
         "byte_histogram": """
             SELECT unicode(c) AS byte, count(*) AS cnt
             FROM (SELECT unnest(string_split(c_mktsegment, '')) AS c FROM customer)
+            WHERE c <> '' GROUP BY 1
+        """,
+        "byte_histogram_named": f"""
+            WITH d(b, ch, descr) AS (VALUES {_byte_dim_values_sql()})
+            SELECT unicode(c) AS byte, count(*) AS cnt,
+                   any_value(ch) AS char, any_value(descr) AS description
+            FROM (SELECT unnest(string_split(c_mktsegment, '')) AS c
+                  FROM customer)
+            JOIN d ON unicode(c) = b
             WHERE c <> '' GROUP BY 1
         """,
         "json_profile_props": f"""

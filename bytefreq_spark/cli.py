@@ -53,6 +53,8 @@ def main(argv: list[str] | None = None) -> int:
     cf.add_argument("--input", required=True)
     cf.add_argument("--column", required=True)
     cf.add_argument("--output", default=None, help="parquet out (default: stdout report)")
+    cf.add_argument("--bytes", action="store_true", dest="byte_level",
+                    help="UTF-8 byte-level report in charfreq.awk's layout")
 
     en = sub.add_parser("enhance", help="enhanced per-field output (reference -e/-E)")
     en.add_argument("--input", required=True, help="parquet input")
@@ -146,15 +148,26 @@ def main(argv: list[str] | None = None) -> int:
             for r in rows:
                 print(r)
     elif args.cmd == "charfreq":
-        from .profile import char_histogram_named, render_cp_report
+        from .profile import (
+            byte_histogram_named, char_histogram_named,
+            render_byte_report, render_cp_report,
+        )
 
         df = spark.read.parquet(args.input)
-        named = char_histogram_named(df, args.column)
-        if args.output:
-            named.write.mode("overwrite").parquet(args.output)
-            print(json.dumps({"output": args.output}))
+        if args.byte_level:
+            named = byte_histogram_named(df, args.column)
+            if args.output:
+                named.write.mode("overwrite").parquet(args.output)
+                print(json.dumps({"output": args.output}))
+            else:
+                print(render_byte_report(df, args.column))
         else:
-            print(render_cp_report(named))
+            named = char_histogram_named(df, args.column)
+            if args.output:
+                named.write.mode("overwrite").parquet(args.output)
+                print(json.dumps({"output": args.output}))
+            else:
+                print(render_cp_report(named))
 
     spark.stop()
     return 0

@@ -245,6 +245,77 @@ def byte_histogram(df: DataFrame, column: str) -> DataFrame:
     return exploded.groupBy("byte").agg(F.count("*").alias("count")).orderBy("byte")
 
 
+def byte_dim_rows() -> list[tuple]:
+    """The 256 rows of the byte dimension — the shape of charfreq.awk's
+    ``ref`` table (charfreq.awk:7-263), independently reconstructed from
+    public sources rather than copied: control bytes use the standard ASCII
+    control list (shared with the J3 char dim), printable/high bytes decode
+    via Windows-1252 (the extended-ASCII table charfreq targets — 0x80 is
+    the euro sign there) with sentence-cased ``unicodedata`` names as
+    descriptions.  Row shape: (byte, oct, hex, binary, char, description).
+    Shared by the Spark dim AND the DuckDB oracle's VALUES list."""
+    import unicodedata
+
+    rows = []
+    for b in range(256):
+        if b in _CONTROL_CHAR_DESCRIPTIONS:
+            abbrev, _, desc = _CONTROL_CHAR_DESCRIPTIONS[b].partition(" - ")
+            ch = abbrev
+        else:
+            try:
+                ch = bytes([b]).decode("cp1252")
+            except UnicodeDecodeError:
+                ch = ""  # 0x81/0x8D/0x8F/0x90/0x9D are unmapped in cp1252
+            desc = unicodedata.name(ch, "").capitalize() if ch else ""
+            if ch.isspace():
+                ch = ""  # whitespace renders blank in the report table
+        rows.append((b, format(b, "03o"), format(b, "02X"),
+                     format(b, "08b"), ch, desc))
+    return rows
+
+
+def byte_name_dim(spark) -> DataFrame:
+    """256-entry broadcast byte dimension (see ``byte_dim_rows``)."""
+    return spark.createDataFrame(
+        byte_dim_rows(),
+        "byte int, oct string, hex string, binary string, "
+        "char string, description string",
+    )
+
+
+def byte_histogram_named(df: DataFrame, column: str) -> DataFrame:
+    """A8+J3: byte histogram enriched with the 256-entry byte dim via
+    broadcast join.  ``(byte, count, char, description)``."""
+    hist = byte_histogram(df, column)
+    dim = byte_name_dim(df.sparkSession)
+    return (
+        hist.join(F.broadcast(dim), "byte", "left")
+        .select("byte", "count", "char", "description")
+        .orderBy("byte")
+    )
+
+
+def render_byte_report(df: DataFrame, column: str) -> str:
+    """charfreq.awk's stdout layout (charfreq.awk:258-296): header, then all
+    256 dim rows in byte order — ``OCT FREQ CHAR DEC HEX BINARY
+    DESCRIPTION`` — with an empty FREQ cell for bytes never seen (the awk
+    prints ``used[x]`` unset for those)."""
+    counts = {r["byte"]: r["count"]
+              for r in byte_histogram(df, column).collect()}
+    dim = byte_name_dim(df.sparkSession).orderBy("byte").collect()
+    out = [
+        f"{' OCT':<4} {'FREQ':<14} {' CHAR DEC HEX  BINARY   DESCRIPTION'}",
+        f"{' ___':<4} {'____':<14} {' ____ ___ ____ ________ ___________'}",
+    ]
+    for r in dim:
+        freq = counts.get(r["byte"], "")
+        out.append(
+            f"{r['oct']:<4} {freq:<14} {r['char']:<5}"
+            f"{r['byte']:03d} 0x{r['hex']} {r['binary']} {r['description']}"
+        )
+    return "\n".join(out)
+
+
 def field_count_histogram(df: DataFrame, column: str, sep: str = "\\|") -> DataFrame:
     """Rows per field-arity for a delimited string column (A5, main.rs:1003-1005)."""
     return (

@@ -160,3 +160,42 @@ def test_char_histogram_named_and_cp_render(spark):
     tab_line = [ln for ln in lines if "Horizontal Tab" in ln][0]
     assert tab_line.startswith("9-----\t\\u{9}")
     assert "\\t" in tab_line
+
+
+def test_render_byte_report_golden(spark):
+    """A8 report parity: charfreq.awk's layout (OCT FREQ CHAR DEC HEX BINARY
+    DESCRIPTION; all 256 dim rows; empty FREQ for unseen bytes), fed by the
+    UTF-8 byte histogram — '€' contributes its three UTF-8 bytes."""
+    from bytefreq_spark.profile import render_byte_report
+
+    df = spark.createDataFrame([("Ab1 \t€",), ("zz",)], "v string")
+    lines = render_byte_report(df, "v").splitlines()
+    assert len(lines) == 258  # header(2) + 256 dim rows
+    assert lines[0].rstrip() == " OCT FREQ            CHAR DEC HEX  BINARY   DESCRIPTION"
+
+    def row(oct_):
+        return next(ln for ln in lines if ln.startswith(oct_ + " "))
+
+    assert row("011") == "011  1              HT   009 0x09 00001001 Horizontal Tab"
+    assert row("040") == "040  1                   032 0x20 00100000 Space"
+    assert row("101") == "101  1              A    065 0x41 01000001 Latin capital letter a"
+    assert row("172") == "172  2              z    122 0x7A 01111010 Latin small letter z"
+    # UTF-8 bytes of '€' (E2 82 AC), named via the cp1252 extended table
+    assert row("342") == "342  1              â    226 0xE2 11100010 Latin small letter a with circumflex"
+    assert row("202") == "202  1              ‚    130 0x82 10000010 Single low-9 quotation mark"
+    assert row("254") == "254  1              ¬    172 0xAC 10101100 Not sign"
+    # unseen byte -> empty FREQ cell; control bytes carry abbreviations
+    assert row("000").startswith("000                 NUL  000 0x00 00000000 Null char")
+    assert row("201") == "201                      129 0x81 10000001 "
+
+
+def test_byte_name_dim_complete(spark):
+    from bytefreq_spark.profile import byte_name_dim
+
+    dim = byte_name_dim(spark)
+    assert dim.count() == 256
+    rows = {r["byte"]: r for r in dim.collect()}
+    assert rows[0]["char"] == "NUL"
+    assert rows[0x80]["char"] == "€"      # cp1252 extended table
+    assert rows[0x41]["description"] == "Latin capital letter a"
+    assert all(rows[b]["oct"] == format(b, "03o") for b in range(256))

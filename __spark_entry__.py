@@ -318,38 +318,82 @@ def q_langid_docs(spark, sf_dir):
 
 
 def q_minhash_near_dups(spark, sf_dir):
-    from bytefreq_spark.dedup import minhash_near_dups
+    """MinHash+LSH near-dups, now ORACLED via staged artifacts: the banded
+    signature table is written to parquet and DuckDB replays the entire
+    relational core over it — hot-bucket cap (windowed count ≤ 64), bucket
+    self-join, distinct pairs, signature-agreement Jaccard estimate,
+    threshold.  The signature kernel itself is covered by the fast≡naive
+    differential + recall tests."""
+    from bytefreq_spark.dedup import (
+        _banded, lsh_candidate_pairs, minhash_signatures, minhash_similarity,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_near_dups(docs, threshold=0.5).orderBy("id_a", "id_b")
+    minhash_signatures(docs).write.mode("overwrite").parquet(MINHASH_SIGS_DIR)
+    sigs = spark.read.parquet(MINHASH_SIGS_DIR)
+    _banded(sigs, "doc_id", 16, 4).write.mode("overwrite").parquet(
+        MINHASH_BANDS_DIR
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", 16, 4, max_bucket=64)
+    sim = minhash_similarity(pairs, sigs, "doc_id")
+    return sim.filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
+
+
+MINHASH_SIGS_DIR = "/tmp/bytefreq_r3_minhash_sigs"
+MINHASH_BANDS_DIR = "/tmp/bytefreq_r3_minhash_bands"
+SIMHASH_GROUPS_DIR = "/tmp/bytefreq_r3_simhash_vals"
+SIMHASH_BANDS_DIR = "/tmp/bytefreq_r3_simhash_bands"
+ANN_SIGS_DIR = "/tmp/bytefreq_r3_ann_sigs"
+ANN_PROBES_DIR = "/tmp/bytefreq_r3_ann_probes"
+ANN_QUERY_DIR = "/tmp/bytefreq_r3_ann_query"
 
 
 def q_simhash_groups(spark, sf_dir):
-    from bytefreq_spark.dedup import simhash_groups
+    """Identical-simhash groups, ORACLED: the (doc_id, simhash) table is
+    staged; DuckDB replays the group-by.  The simhash expression itself is
+    native Spark (pytest-covered)."""
+    from bytefreq_spark.dedup import simhash_col
 
     docs = _read(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text").limit(100)
     dup = base.withColumn("doc_id", F.col("doc_id") + 1000000)
+    both = base.union(dup)
+    both.select(
+        "doc_id", simhash_col("text").alias("simhash")
+    ).write.mode("overwrite").parquet(SIMHASH_GROUPS_DIR)
+    h = spark.read.parquet(SIMHASH_GROUPS_DIR)
     # ids stringified: the driver canonicalizer sorts output cells and dies
     # on array-typed values (unhashable list)
-    return simhash_groups(base.union(dup)).select(
-        "simhash", "n",
-        F.concat_ws(",", F.col("ids").cast("array<string>")).alias("ids"),
+    return (
+        h.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id")).cast("array<string>")
+            ).alias("ids"),
+        )
+        .filter(F.col("n") > 1)
     )
 
 
 def q_simhash_hamming(spark, sf_dir):
-    """Hamming-neighbor simhash near-dups (banded, no all-pairs)."""
-    from bytefreq_spark.dedup import simhash_near_dup_pairs
+    """Hamming-neighbor simhash near-dups (banded pigeonhole, no all-pairs),
+    ORACLED: the banded table is staged; DuckDB replays cap + self-join +
+    bit_count(xor) hamming filter."""
+    from bytefreq_spark.dedup import simhash_banded, simhash_near_dup_pairs
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
     near = docs.withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
         "text", F.concat(F.col("text"), F.lit(" trailing tail"))
     )
+    both = docs.union(near)
+    simhash_banded(both, bands=16).write.mode("overwrite").parquet(
+        SIMHASH_BANDS_DIR
+    )
     # max_hamming=6 picked by probe: finds ~88% of planted +2-token dups on
     # the word-salad docs while keeping incidental same-vocab pairs bounded
     return simhash_near_dup_pairs(
-        docs.union(near), max_hamming=6, bands=16
+        both, max_hamming=6, bands=16
     ).orderBy("id_a", "id_b")
 
 
@@ -505,11 +549,28 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    from bytefreq_spark.similarity import ann_lsh_topk
+    """Multi-probe hyperplane-LSH ANN, ORACLED via staged artifacts: the
+    signature table, probe-signature list and query vector are written to
+    parquet; DuckDB replays bucket filter + exact cosine rescoring + top-k
+    over the same artifacts."""
+    from bytefreq_spark.similarity import (
+        ann_lsh_topk, hyperplane_signatures, lsh_probe_signatures, make_planes,
+    )
 
     emb = _read(spark, sf_dir, "embeddings")
-    qvec = emb.orderBy("vec_id").first()["embedding"]
-    return ann_lsh_topk(emb, list(qvec), k=10, n_planes=6)
+    qvec = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    planes = make_planes(len(qvec), 6, seed=42)
+    hyperplane_signatures(emb, planes).write.mode("overwrite").parquet(
+        ANN_SIGS_DIR
+    )
+    probe_sigs = lsh_probe_signatures(planes, qvec, probe_radius=2)
+    spark.createDataFrame(
+        [(int(s),) for s in probe_sigs], "sig long"
+    ).coalesce(1).write.mode("overwrite").parquet(ANN_PROBES_DIR)
+    spark.createDataFrame([(qvec,)], "embedding array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(ANN_QUERY_DIR)
+    return ann_lsh_topk(emb, qvec, k=10, n_planes=6)
 
 
 
@@ -835,18 +896,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_freq_awk_l": q_mask_freq_awk_l,
         "q3_top_revenue": q_q3_top_revenue,
         "reservoir_examples": q_reservoir_examples,
-        # rows-only (no SQL equivalent)
-        "langid_docs": q_langid_docs,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_groups": q_simhash_groups,
         "simhash_hamming": q_simhash_hamming,
+        "ann_lsh": q_ann_lsh,
         "pairwise_topk": q_pairwise_topk,
+        # rows-only (no SQL equivalent; langid + quality_filter are
+        # golden-file-frozen in tests/test_goldens.py instead)
+        "langid_docs": q_langid_docs,
         "stateful_dedup_stream": q_stateful_dedup_stream,
         "streaming_mask_freq": q_streaming_mask_freq,
         "quality_filter_transcripts": q_quality_filter_transcripts,
         "checkpoint_resume": q_checkpoint_resume,
         "multimodal_features": q_multimodal_features,
-        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -1255,6 +1317,77 @@ def oracle_sql() -> dict[str, str]:
                      CAST(e.embedding AS DOUBLE[]),
                      CAST(q.embedding AS DOUBLE[])), 6) AS cosine
             FROM embeddings e, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "minhash_near_dups": f"""
+            WITH sig AS (
+              SELECT doc_id, signature
+              FROM read_parquet('{MINHASH_SIGS_DIR}/*.parquet')
+            ), banded AS (
+              SELECT doc_id, band, band_hash
+              FROM read_parquet('{MINHASH_BANDS_DIR}/*.parquet')
+            ), capped AS (
+              SELECT doc_id, band, band_hash FROM (
+                SELECT b.*, count(*) OVER (PARTITION BY band, band_hash) AS bn
+                FROM banded b
+              ) WHERE bn <= 64
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM capped a JOIN capped b
+                ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+            )
+            SELECT p.id_a, p.id_b,
+                   list_sum(list_transform(range(1, len(sa.signature) + 1),
+                     i -> CASE WHEN sa.signature[i] = sb.signature[i]
+                               THEN 1 ELSE 0 END)) * 1.0
+                     / len(sa.signature) AS est_jaccard
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.id_a
+            JOIN sig sb ON sb.doc_id = p.id_b
+            WHERE list_sum(list_transform(range(1, len(sa.signature) + 1),
+                     i -> CASE WHEN sa.signature[i] = sb.signature[i]
+                               THEN 1 ELSE 0 END)) * 1.0
+                     / len(sa.signature) >= 0.5
+            ORDER BY 1, 2
+        """,
+        "simhash_groups": f"""
+            SELECT simhash, count(*) AS n,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                     AS ids
+            FROM read_parquet('{SIMHASH_GROUPS_DIR}/*.parquet')
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+        "simhash_hamming": f"""
+            WITH banded AS (
+              SELECT doc_id, simhash, band, band_bits
+              FROM read_parquet('{SIMHASH_BANDS_DIR}/*.parquet')
+            ), capped AS (
+              SELECT doc_id, simhash, band, band_bits FROM (
+                SELECT b.*, count(*) OVER (PARTITION BY band, band_bits) AS bn
+                FROM banded b
+              ) WHERE bn <= 256
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     bit_count(xor(a.simhash, b.simhash)) AS hamming
+              FROM capped a JOIN capped b
+                ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM pairs
+            WHERE hamming <= 6 ORDER BY 1, 2
+        """,
+        "ann_lsh": f"""
+            WITH q AS (
+              SELECT embedding FROM read_parquet('{ANN_QUERY_DIR}/*.parquet')
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+            FROM read_parquet('{ANN_SIGS_DIR}/*.parquet') e, q
+            WHERE e._sig IN (
+              SELECT sig FROM read_parquet('{ANN_PROBES_DIR}/*.parquet'))
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "ivf_partitioned_topk": f"""

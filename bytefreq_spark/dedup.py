@@ -352,6 +352,30 @@ def simhash_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def simhash_banded(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 8,
+) -> DataFrame:
+    """``(id, simhash, band, band_bits)``: the simhash split into ``bands``
+    equal bit-bands (the pigeonhole bucketing table).  Exposed so the driver
+    contract can stage it for the DuckDB oracle replay."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+    return h.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[
+                # shiftrightunsigned needs a Python-int bit count → unrolled
+                F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_bits"),
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3, bands: int = 8, max_bucket: int | None = 256,
@@ -366,22 +390,7 @@ def simhash_near_dup_pairs(
     Hot identical-simhash buckets are capped like the minhash LSH path.
     """
     assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
-    assert 64 % bands == 0
-    width = 64 // bands
-    mask = (1 << width) - 1
-
-    h = df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
-    banded = h.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(*[
-                # shiftrightunsigned needs a Python-int bit count → unrolled
-                F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
-                for b in range(bands)
-            ])
-        ).alias("band", "band_bits"),
-    )
+    banded = simhash_banded(df, text_col, id_col, bands)
     if max_bucket is not None:
         from pyspark.sql import Window
 

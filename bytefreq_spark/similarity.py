@@ -273,6 +273,29 @@ def ivf_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def lsh_probe_signatures(
+    planes: np.ndarray, query_vec: list[float], probe_radius: int = 2,
+) -> list[int]:
+    """The query's bucket signature plus every signature within
+    ``probe_radius`` hamming distance (multi-probe LSH) — driver-side."""
+    from itertools import combinations
+
+    n_planes = len(planes)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(q, p)) >= 0:
+            qsig |= 1 << i
+    probe_sigs = [qsig]
+    for r in range(1, probe_radius + 1):
+        for bits in combinations(range(n_planes), r):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probe_sigs.append(qsig ^ flip)
+    return probe_sigs
+
+
 def ann_lsh_topk(
     df: DataFrame, query_vec: list[float], k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -289,21 +312,8 @@ def ann_lsh_topk(
     radius 2 recovers most of the exact top-k while scanning a bounded
     fraction of buckets.
     """
-    from itertools import combinations
-
     planes = make_planes(len(query_vec), n_planes, seed)
-    qsig = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(np.asarray(query_vec, dtype=np.float64), p)) >= 0:
-            qsig |= 1 << i
-    probe_sigs = [qsig]
-    for r in range(1, probe_radius + 1):
-        for bits in combinations(range(n_planes), r):
-            flip = 0
-            for b in bits:
-                flip |= 1 << b
-            probe_sigs.append(qsig ^ flip)
-
+    probe_sigs = lsh_probe_signatures(planes, query_vec, probe_radius)
     with_sig = hyperplane_signatures(df, planes, vec_col, "_sig", impl)
     cands = with_sig.filter(F.col("_sig").isin(probe_sigs))
     q = F.array(*[F.lit(float(v)) for v in query_vec])

@@ -321,7 +321,14 @@ def quality_filter(
         feat = feat.persist(StorageLevel.DISK_ONLY)
         freq = mask_frequency_dict(feat)
     else:
-        freq = mask_frequency_dict(with_mask_key(df))
+        # the rescan branch inherits the INPUT's partition layout — salt it
+        # with the same knob as featurize, or one whale conversation sitting
+        # in one input partition serializes the JVM mask pass (measured 2.4×
+        # on the whale bench shape).  On splittable parquet/Iceberg inputs
+        # maxPartitionBytes already rebalances and the salt exchange is
+        # skippable by passing salt_partitions=None.
+        src = df.repartition(salt_partitions) if salt_partitions else df
+        freq = mask_frequency_dict(with_mask_key(src))
     with_freq = with_mask_frequency(feat, freq)
     # ONE wide shuffle: conversation layout → exchange-free lag window →
     # native decision.  Output is conversation-contiguous and (conv_id,

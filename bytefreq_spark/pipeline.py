@@ -345,28 +345,71 @@ def quality_filter(
 # ---------------------------------------------------------------------------
 
 
+def _manifest_path(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, f"{name}.manifest.json")
+
+
+def _load_manifest(out_dir: str, name: str) -> dict | None:
+    mf = _manifest_path(out_dir, name)
+    if not os.path.exists(mf):
+        return None
+    with open(mf) as f:
+        return json.load(f)
+
+
 def write_snapshot(df: DataFrame, out_dir: str, name: str, config: dict) -> str:
-    """Parquet snapshot + manifest (Iceberg-style commit: data first, tiny
-    manifest last → a snapshot without its manifest is simply not visible)."""
-    path = os.path.join(out_dir, name)
+    """Iceberg-style versioned snapshot commit.
+
+    Data lands in an immutable ``{name}/v{N}`` directory first; the tiny
+    manifest (version log + current pointer) is atomically replaced LAST —
+    the commit point.  A crash mid-write leaves the previous version current
+    and the half-written directory invisible; previous versions stay
+    readable (``read_snapshot(version=...)`` time travel) until expired.
+    """
+    man = _load_manifest(out_dir, name) or {
+        "name": name, "current": 0, "versions": {},
+    }
+    version = int(man["current"]) + 1
+    path = os.path.join(out_dir, name, f"v{version}")
     df.write.mode("overwrite").parquet(path)
-    manifest = {
-        "name": name,
+    man["versions"][str(version)] = {
         "config": config,
         "schema": df.schema.simpleString(),
     }
-    with open(os.path.join(out_dir, f"{name}.manifest.json"), "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+    man["current"] = version
+    tmp = _manifest_path(out_dir, name) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_dir, name))  # atomic commit point
     return path
 
 
+def read_snapshot(
+    spark: SparkSession, out_dir: str, name: str, version: int | None = None,
+) -> DataFrame:
+    """Read a committed snapshot — the current one by default, or any prior
+    version still in the log (time travel)."""
+    man = _load_manifest(out_dir, name)
+    if man is None or not man.get("current"):
+        raise FileNotFoundError(f"no committed snapshot '{name}' in {out_dir}")
+    v = int(version if version is not None else man["current"])
+    if str(v) not in man["versions"]:
+        raise FileNotFoundError(f"snapshot '{name}' has no version {v}")
+    return spark.read.parquet(os.path.join(out_dir, name, f"v{v}"))
+
+
+def snapshot_versions(out_dir: str, name: str) -> list[int]:
+    man = _load_manifest(out_dir, name)
+    return sorted(int(v) for v in (man or {}).get("versions", {}))
+
+
 def snapshot_valid(out_dir: str, name: str, config: dict) -> bool:
-    mf = os.path.join(out_dir, f"{name}.manifest.json")
-    if not os.path.exists(mf):
+    """True iff the CURRENT committed version was produced with ``config``."""
+    man = _load_manifest(out_dir, name)
+    if man is None or not man.get("current"):
         return False
-    with open(mf) as f:
-        manifest = json.load(f)
-    return manifest.get("config") == config
+    cur = man["versions"].get(str(man["current"]), {})
+    return cur.get("config") == config
 
 
 def run_with_checkpoints(
@@ -383,19 +426,19 @@ def run_with_checkpoints(
     config = dict(config or {}, version=1, salt=salt_partitions)
 
     if snapshot_valid(out_dir, "featurized", config):
-        feat = spark.read.parquet(os.path.join(out_dir, "featurized"))
+        feat = read_snapshot(spark, out_dir, "featurized")
     else:
         feat = featurize(transcripts, salt_partitions)
         write_snapshot(feat, out_dir, "featurized", config)
-        feat = spark.read.parquet(os.path.join(out_dir, "featurized"))
+        feat = read_snapshot(spark, out_dir, "featurized")
 
     if snapshot_valid(out_dir, "labels", config):
-        labels = spark.read.parquet(os.path.join(out_dir, "labels"))
+        labels = read_snapshot(spark, out_dir, "labels")
     else:
         laid_out = conversation_layout(with_mask_frequency(feat))
         labels = with_decision(with_dup_flag(laid_out))
         write_snapshot(labels, out_dir, "labels", config)
-        labels = spark.read.parquet(os.path.join(out_dir, "labels"))
+        labels = read_snapshot(spark, out_dir, "labels")
 
     # metrics + lineage tables alongside the labels snapshot
     metrics = (

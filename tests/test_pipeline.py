@@ -280,3 +280,33 @@ def test_quality_filter_stream_matches_batch(spark, tmp_path):
     # restart against the same checkpoint: input already committed → no-op
     run_stream()
     assert spark.read.parquet(out_dir).count() == batch_input.count()
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Iceberg-style snapshot semantics: versioned immutable data dirs, an
+    atomically-replaced manifest as the commit point, time-travel reads of
+    prior versions, and config-fingerprint validity on the current one."""
+    from bytefreq_spark.pipeline import (
+        read_snapshot, snapshot_valid, snapshot_versions, write_snapshot,
+    )
+
+    out = str(tmp_path)
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    df2 = spark.range(9).withColumnRenamed("id", "x")
+    write_snapshot(df1, out, "t", {"cfg": 1})
+    assert snapshot_valid(out, "t", {"cfg": 1})
+    assert snapshot_versions(out, "t") == [1]
+
+    write_snapshot(df2, out, "t", {"cfg": 2})
+    assert snapshot_versions(out, "t") == [1, 2]
+    assert snapshot_valid(out, "t", {"cfg": 2})
+    assert not snapshot_valid(out, "t", {"cfg": 1})  # current is v2
+    # current read sees v2; time travel still reads v1
+    assert read_snapshot(spark, out, "t").count() == 9
+    assert read_snapshot(spark, out, "t", version=1).count() == 5
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, out, "t", version=7)
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, out, "missing")

@@ -403,6 +403,27 @@ def snapshot_versions(out_dir: str, name: str) -> list[int]:
     return sorted(int(v) for v in (man or {}).get("versions", {}))
 
 
+def expire_snapshots(out_dir: str, name: str, keep_last: int = 1) -> list[int]:
+    """Iceberg-style maintenance: drop all but the newest ``keep_last``
+    versions (data dirs deleted, log entries removed, current pointer kept).
+    Returns the expired version ids."""
+    import shutil
+
+    man = _load_manifest(out_dir, name)
+    if man is None:
+        return []
+    versions = sorted(int(v) for v in man["versions"])
+    expire = [v for v in versions[:-keep_last] if v != int(man["current"])]
+    for v in expire:
+        shutil.rmtree(os.path.join(out_dir, name, f"v{v}"), ignore_errors=True)
+        man["versions"].pop(str(v), None)
+    tmp = _manifest_path(out_dir, name) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_dir, name))
+    return expire
+
+
 def snapshot_valid(out_dir: str, name: str, config: dict) -> bool:
     """True iff the CURRENT committed version was produced with ``config``."""
     man = _load_manifest(out_dir, name)

@@ -310,3 +310,12 @@ def test_snapshot_time_travel(spark, tmp_path):
         read_snapshot(spark, out, "t", version=7)
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, out, "missing")
+
+    # maintenance: expire old versions, current stays readable
+    from bytefreq_spark.pipeline import expire_snapshots
+
+    assert expire_snapshots(out, "t", keep_last=1) == [1]
+    assert snapshot_versions(out, "t") == [2]
+    assert read_snapshot(spark, out, "t").count() == 9
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, out, "t", version=1)

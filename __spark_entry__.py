@@ -239,6 +239,17 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE pre-tokenizer token counting (GPT-2-style split regex) — native
+    regexp_extract_all; same RE runs under RE2 in the oracle."""
+    from bytefreq_spark.textstats import with_bpe_token_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_bpe_token_stats(docs).select(
+        "doc_id", "n_bpe_tokens", "avg_bpe_len"
+    )
+
+
 def q_quality_score(spark, sf_dir):
     from bytefreq_spark.textstats import quality_score_col
 
@@ -874,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "near_dup_truth_pairs": q_near_dup_truth_pairs,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -948,6 +960,9 @@ def _iso3_case_sql(expr: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from bytefreq_spark.textstats import BPE_SPLIT_RE
+
+    bpe_re = BPE_SPLIT_RE.replace("'", "''")
     lu_op = duckdb_mask_sql("o_orderpriority", "LU")
     hu_props = duckdb_mask_sql("props", "HU")
     h_seg = duckdb_mask_sql("c_mktsegment", "H")
@@ -1083,6 +1098,14 @@ def oracle_sql() -> dict[str, str]:
                    round(length(text) / greatest(
                        len(regexp_split_to_array(trim(text), '\s+')), 1), 4)
                        AS avg_token_len
+            FROM documents
+        """,
+        "bpe_token_stats": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{bpe_re}')) AS n_bpe_tokens,
+                   round(length(text) / greatest(
+                       len(regexp_extract_all(text, '{bpe_re}')), 1), 4)
+                     AS avg_bpe_len
             FROM documents
         """,
         "quality_score": r"""

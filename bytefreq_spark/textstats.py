@@ -19,6 +19,33 @@ def token_count_col(text_col: str) -> F.Column:
     return F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
 
 
+# GPT-2-style pre-tokenizer: contraction suffixes, space-prefixed letter /
+# digit / punctuation runs.  Lookahead-free so the SAME pattern runs under
+# Java regex (Spark) and RE2 (DuckDB oracle) — verified identical on the
+# full documents table + adversarial unicode.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count_col(text_col: str) -> F.Column:
+    """Number of BPE pre-tokenizer pieces (the realistic LLM-token proxy:
+    whitespace folds into the following word; contractions split)."""
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), F.lit(0))
+    )
+
+
+def with_bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document BPE-piece stats: count + mean piece length — native
+    expressions, whole-stage codegen (no UDF)."""
+    n = bpe_token_count_col(text_col)
+    return df.withColumns({
+        "n_bpe_tokens": n,
+        "avg_bpe_len": F.round(
+            F.length(text_col) / F.greatest(n, F.lit(1)), 4
+        ),
+    })
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     n_chars = F.length(t)

@@ -442,3 +442,21 @@ def test_ann_lsh_high_dim_runs_arrow(spark):
     got = ann_lsh_topk(df, rows[0][1], k=3, n_planes=8, probe_radius=2)
     ids = [r["vec_id"] for r in got.collect()]
     assert ids[0] == 0 and 999 in ids
+
+
+def test_bpe_tokenizer_splits(spark):
+    """GPT-2-style pre-tokenizer behavior: contraction suffixes split,
+    whitespace folds into the following piece, scripts/digits/punct chunk."""
+    from bytefreq_spark.textstats import with_bpe_token_stats
+
+    rows = [
+        (0, "it's a day"),          # it / 's / _a / _day
+        (1, ""),                     # zero pieces
+        (2, "don't we'll"),          # don / 't / _we / 'll
+        (3, "abc 123 !?"),           # abc / _123 / _!?
+        (4, "数据质量 test"),          # CJK run + word
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in with_bpe_token_stats(df).collect()}
+    assert got == {0: 4, 1: 0, 2: 4, 3: 3, 4: 2}

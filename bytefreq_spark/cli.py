@@ -68,6 +68,19 @@ def main(argv: list[str] | None = None) -> int:
     en.add_argument("--limit", type=int, default=None,
                     help="cap rows for stdout NDJSON")
 
+    dd = sub.add_parser("dedup", help="document deduplication family")
+    dd.add_argument("--input", required=True, help="parquet docs table")
+    dd.add_argument("--method", default="exact",
+                    choices=["exact", "minhash", "simhash"])
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--threshold", type=float, default=0.6,
+                    help="minhash est-Jaccard keep threshold")
+    dd.add_argument("--max-hamming", type=int, default=3,
+                    help="simhash near-dup hamming radius")
+    dd.add_argument("--output", required=True,
+                    help="exact: kept rows; minhash/simhash: near-dup pairs")
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -168,6 +181,26 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"output": args.output}))
             else:
                 print(render_cp_report(named))
+    elif args.cmd == "dedup":
+        from .dedup import (
+            dedup_exact, minhash_near_dups, simhash_near_dup_pairs,
+        )
+
+        df = spark.read.parquet(args.input)
+        if args.method == "exact":
+            out = dedup_exact(df, args.text_col, args.id_col)
+        elif args.method == "minhash":
+            out = minhash_near_dups(
+                df, args.text_col, args.id_col, threshold=args.threshold
+            )
+        else:
+            out = simhash_near_dup_pairs(
+                df, args.text_col, args.id_col, max_hamming=args.max_hamming
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"method": args.method, "output": args.output,
+                          "rows": n}))
 
     spark.stop()
     return 0

@@ -159,3 +159,26 @@ def detect_language_naive(texts: pd.Series) -> pd.Series:
     out[latin] = np.array(LATIN_ORDER, dtype=object)[best[latin]]
 
     return pd.Series(out, index=texts.index, dtype=object)
+
+
+def detect_language_fasttext(texts: pd.Series, model_path: str) -> pd.Series:
+    """fastText language-ID (the north star's named engine), gated on the
+    library being installed — it is NOT present in this container, so the
+    vectorized n-gram heuristic (``detect_language``) is the default engine
+    throughout the pipeline.  When fasttext + a lid model (e.g. lid.176.bin)
+    are available, this returns the same ISO-639-1 shape so it can be swapped
+    into the featurize stage behind the same interface."""
+    try:
+        import fasttext  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - env constraint
+        raise NotImplementedError(
+            "fasttext is not installed in this container; "
+            "detect_language (n-gram heuristic) is the default engine"
+        ) from e
+    model = fasttext.load_model(model_path)
+    cleaned = [t.replace("\n", " ") for t in texts.fillna("")]
+    labels, _scores = model.predict(cleaned)
+    return pd.Series(
+        [ls[0].replace("__label__", "") if ls else "und" for ls in labels],
+        index=texts.index,
+    )

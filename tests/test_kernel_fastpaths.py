@@ -147,3 +147,18 @@ def test_minhash_empty_batch():
 
     a, b = _hash_params(8, 1)
     assert _minhash_batch(pd.Series([], dtype=object), a, b, 5) == []
+
+
+def test_fasttext_gate_is_honest():
+    """The named-engine path raises a clear NotImplementedError when the
+    library is absent (this container), mirroring the Excel/codec gates."""
+    import importlib.util
+
+    import pytest
+
+    from bytefreq_spark.langid import detect_language_fasttext
+
+    if importlib.util.find_spec("fasttext") is not None:
+        pytest.skip("fasttext present; gate not exercisable")
+    with pytest.raises(NotImplementedError):
+        detect_language_fasttext(pd.Series(["hello"]), "/nonexistent/lid.bin")

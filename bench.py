@@ -94,8 +94,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     run("q1_pricing_double", lambda: _materialize(_q1_double()))
     run("revenue_join", lambda: _materialize(entry.q_revenue_by_segment(spark, sf_dir)))
     run("window_topk", lambda: _materialize(entry.q_top_orders_window(spark, sf_dir)))
-    run("minhash_near_dups", lambda: _materialize(
-        minhash_near_dups(docs, threshold=0.5)))
+    # min-of-2 with a cache clear between (minhash caches its signature
+    # table internally — without clearCache a repeat run measures a cache
+    # read, not the kernel)
+    mh_walls = []
+    for _rep in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _materialize(minhash_near_dups(docs, threshold=0.5))
+        mh_walls.append(time.time() - t0)
+    timings["minhash_near_dups"] = round(min(mh_walls), 3)
     run("token_stats", lambda: _materialize(entry.q_token_stats(spark, sf_dir)))
 
     # flagship: quality filter over synthetic transcripts scaled to the SF.
@@ -114,10 +122,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     spark.catalog.clearCache()
     tr = gen_transcripts_spark(spark, n_convs).cache()
     tr.count()
-    # min-of-2: the sandbox has external noisy neighbors (observed load >14
+    # min-of-3: the sandbox has external noisy neighbors (observed load >14
     # with zero local CPU consumers) that can triple a single run's wall time
     walls = []
-    for _rep in range(2):
+    for _rep in range(3):
         if _rep:
             spark.catalog.clearCache()
             tr = gen_transcripts_spark(spark, n_convs).cache()

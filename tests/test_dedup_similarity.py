@@ -460,3 +460,36 @@ def test_bpe_tokenizer_splits(spark):
     got = {r["doc_id"]: r["n_bpe_tokens"]
            for r in with_bpe_token_stats(df).collect()}
     assert got == {0: 4, 1: 0, 2: 4, 3: 3, 4: 2}
+
+
+def test_bpe_regex_cross_engine_random(spark):
+    """Dialect-drift guard: the BPE split pattern must count identically
+    under Java regex (Spark) and RE2 (DuckDB) on randomized unicode covering
+    contractions, CJK, emoji, digit runs, punctuation and whitespace runs."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bytefreq_spark.textstats import BPE_SPLIT_RE
+
+    rng = np.random.RandomState(99)
+    pieces = ["it's", "don't", "we'll", "naïve", "café", "数据质量", "Пять",
+              "😀", "42", "3.14", "!?", "--", "a@b.c", "   ", "\t", "\n",
+              "word", "'", "''", "x" * 50, "…", "ß", ""]
+    rows = []
+    for i in range(400):
+        k = rng.randint(0, 12)
+        s = "".join(pieces[j] for j in rng.randint(0, len(pieces), k))
+        rows.append((i, s))
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {r["i"]: r["n"] for r in df.select(
+        "i",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), F.lit(0))).alias("n"),
+    ).collect()}
+    con = duckdb.connect()
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    for i, s in rows:
+        want = con.execute(
+            f"select len(regexp_extract_all(?, '{pat}'))", [s]
+        ).fetchone()[0]
+        assert got[i] == want, (i, repr(s), got[i], want)

@@ -350,8 +350,29 @@ def q_minhash_near_dups(spark, sf_dir):
     return sim.filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
 
 
+def q_lsh_hot_buckets(spark, sf_dir):
+    """The boilerplate side table (hot LSH buckets the cap drops before the
+    self-join), with a planted 150-doc flood of one support-boilerplate
+    string.  Oracle: DuckDB replays the >max_bucket group-by over the staged
+    banded signatures."""
+    from bytefreq_spark.dedup import _banded, lsh_hot_buckets, minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    flood = spark.range(150).select(
+        (F.col("id") + 500000).alias("doc_id"),
+        F.lit("Thank you for contacting support how can I help you today"
+              ).alias("text"),
+    )
+    sigs = minhash_signatures(docs.union(flood))
+    _banded(sigs, "doc_id", 16, 4).write.mode("overwrite").parquet(
+        HOTBUCKET_BANDS_DIR
+    )
+    return lsh_hot_buckets(sigs, max_bucket=64).orderBy("band", "band_hash")
+
+
 MINHASH_SIGS_DIR = "/tmp/bytefreq_r3_minhash_sigs"
 MINHASH_BANDS_DIR = "/tmp/bytefreq_r3_minhash_bands"
+HOTBUCKET_BANDS_DIR = "/tmp/bytefreq_r3_hotbucket_bands"
 SIMHASH_GROUPS_DIR = "/tmp/bytefreq_r3_simhash_vals"
 SIMHASH_BANDS_DIR = "/tmp/bytefreq_r3_simhash_bands"
 ANN_SIGS_DIR = "/tmp/bytefreq_r3_ann_sigs"
@@ -909,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue": q_q3_top_revenue,
         "reservoir_examples": q_reservoir_examples,
         "minhash_near_dups": q_minhash_near_dups,
+        "lsh_hot_buckets": q_lsh_hot_buckets,
         "simhash_groups": q_simhash_groups,
         "simhash_hamming": q_simhash_hamming,
         "ann_lsh": q_ann_lsh,
@@ -1373,6 +1395,11 @@ def oracle_sql() -> dict[str, str]:
                                THEN 1 ELSE 0 END)) * 1.0
                      / len(sa.signature) >= 0.5
             ORDER BY 1, 2
+        """,
+        "lsh_hot_buckets": f"""
+            SELECT band, band_hash, count(*) AS n, min(doc_id) AS rep_id
+            FROM read_parquet('{HOTBUCKET_BANDS_DIR}/*.parquet')
+            GROUP BY 1, 2 HAVING count(*) > 64 ORDER BY 1, 2
         """,
         "simhash_groups": f"""
             SELECT simhash, count(*) AS n,

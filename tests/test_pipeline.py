@@ -319,3 +319,79 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert read_snapshot(spark, out, "t").count() == 9
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, out, "t", version=1)
+
+
+def test_quality_filter_stream_multibatch_boundary(spark, tmp_path):
+    """The documented limitation, made falsifiable: with >1 micro-batch the
+    foreachBatch filter detects only intra-batch duplicate turns.  A dup
+    pair straddling the batch boundary is flagged by the batch pipeline but
+    NOT by the stream — and that must be the ONLY divergence."""
+    from pyspark.sql import functions as F
+
+    from bytefreq_spark.pipeline import (
+        mask_frequency_dict, quality_filter, with_mask_key,
+    )
+    from bytefreq_spark.streaming.profile_stream import quality_filter_stream
+    from bytefreq_spark.synth import TRANSCRIPT_SCHEMA
+
+    base = "it is a fine day and we review the report"  # low-ppl keeper
+    rows1 = [
+        ("c1", 0, "user", base, None, "2025-01-01 00:00:00"),
+        ("c2", 0, "user", "a fine day to review the report with you", None,
+         "2025-01-01 00:00:01"),
+    ]
+    rows2 = [
+        ("c1", 1, "user", base, None, "2025-01-01 00:00:02"),  # cross-batch dup
+        ("c2", 1, "user", "it is a fine day and we review it", None,
+         "2025-01-01 00:00:03"),
+        ("c2", 2, "user", "it is a fine day and we review it", None,
+         "2025-01-01 00:00:04"),  # in-batch dup
+    ]
+
+    def mk(rows):
+        df = spark.createDataFrame(
+            [(c, t, r, x, tool, ts) for c, t, r, x, tool, ts in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string",
+        )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    mk(rows1).coalesce(1).write.parquet(in_dir)
+    mk(rows2).coalesce(1).write.mode("append").parquet(in_dir)
+    full = spark.read.parquet(in_dir)
+    assert len(full.inputFiles()) >= 2
+    freq = mask_frequency_dict(with_mask_key(full))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        quality_filter_stream(stream, out_dir, ckpt, freq, salt_partitions=2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    key = ["conv_id", "turn_idx"]
+    got = (
+        spark.read.parquet(out_dir)
+        .select(*key, "keep", "drop_reason").toPandas()
+        .set_index(key).sort_index()
+    )
+    want = (
+        quality_filter(full, salt_partitions=2)
+        .select(*key, "keep", "drop_reason").toPandas()
+        .set_index(key).sort_index()
+    )
+    assert len(got) == len(want) == 5
+    diff = got["keep"] != want["keep"]
+    # exactly the boundary-straddling dup diverges: batch drops it as
+    # duplicate, the stream (which never saw turn 0 in the same batch) keeps it
+    assert list(got.index[diff]) == [("c1", 1)]
+    assert want.loc[("c1", 1), "drop_reason"] == "duplicate"
+    assert bool(got.loc[("c1", 1), "keep"]) is True
+    # the in-batch dup is caught by BOTH paths
+    assert want.loc[("c2", 2), "drop_reason"] == "duplicate"
+    assert got.loc[("c2", 2), "drop_reason"] == "duplicate"

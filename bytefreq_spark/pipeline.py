@@ -340,6 +340,44 @@ def quality_filter(
     return decided
 
 
+def conv_bucket_col(n_buckets: int) -> F.Column:
+    """Stable conversation bucket: pmod(xxhash64(conv_id), n)."""
+    return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+
+
+def write_labels_partitioned(
+    labels: DataFrame, path: str, n_buckets: int = 256,
+) -> None:
+    """The 10^12-turn labels-table layout: hash-bucket conversations into
+    ``n_buckets`` parquet partitions.  Per-conversation reads (inspection,
+    audits, incremental reprocessing) then prune to ONE bucket directory
+    instead of scanning the table — same PartitionFilters mechanism as the
+    IVF layout, asserted in test_labels_bucket_pruning."""
+    (
+        labels.withColumn("conv_bucket", conv_bucket_col(n_buckets))
+        .write.partitionBy("conv_bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_conversation(
+    spark: SparkSession, path: str, conv_id: str, n_buckets: int = 256,
+) -> DataFrame:
+    """Point lookup against the bucketed labels layout: compute the bucket
+    for ``conv_id`` (same xxhash64 expression, evaluated on a literal), read
+    only that partition, then filter to the conversation."""
+    bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(n_buckets)).cast("int").alias("b")
+    ).first()["b"]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("conv_bucket") == int(bucket))
+        .filter(F.col("conv_id") == conv_id)
+        .orderBy("turn_idx")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Snapshots, checkpoint/resume, metrics, lineage
 # ---------------------------------------------------------------------------

@@ -395,3 +395,47 @@ def test_quality_filter_stream_multibatch_boundary(spark, tmp_path):
     # the in-batch dup is caught by BOTH paths
     assert want.loc[("c2", 2), "drop_reason"] == "duplicate"
     assert got.loc[("c2", 2), "drop_reason"] == "duplicate"
+
+
+def test_labels_bucket_pruning(spark, tmp_path):
+    """The labels-table layout at 10^12 turns: conversations hash-bucketed
+    into partition dirs; a per-conversation read prunes to ONE bucket
+    (PartitionFilters + scanned-file evidence), and returns exactly that
+    conversation's turns in order."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from bytefreq_spark.pipeline import (
+        quality_filter, read_conversation, write_labels_partitioned,
+    )
+    from bytefreq_spark.synth import gen_transcripts_spark
+
+    tr = gen_transcripts_spark(spark, 60)
+    labels = quality_filter(tr, salt_partitions=8)
+    path = str(tmp_path / "labels")
+    write_labels_partitioned(labels, path, n_buckets=8)
+
+    conv = "conv_00000007"
+    got = read_conversation(spark, path, conv, n_buckets=8)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "conv_bucket" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+
+    rows = got.collect()
+    want = [r["turn_idx"] for r in tr.filter(
+        F.col("conv_id") == conv).orderBy("turn_idx").collect()]
+    assert [r["turn_idx"] for r in rows] == want and want
+
+    # file evidence: the bucket-filtered scan touches exactly one bucket dir
+    bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(conv)), F.lit(8)).cast("int").alias("b")
+    ).first()["b"]
+    files = [r[0] for r in spark.read.parquet(path).filter(
+        F.col("conv_bucket") == int(bucket)).select(
+        F.input_file_name()).distinct().collect()]
+    assert files and all(f"conv_bucket={bucket}/" in f for f in files)

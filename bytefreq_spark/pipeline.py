@@ -340,6 +340,66 @@ def quality_filter(
     return decided
 
 
+def run_incremental(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    salt_partitions: int | None = None,
+    config: dict | None = None,
+) -> tuple[DataFrame, int]:
+    """Incremental ingest — the 10^12-turn reality: you never reprocess the
+    corpus; each batch labels only conversations not yet in the labels
+    snapshot and commits new snapshot versions.
+
+    The mask-frequency dictionary is maintained as the additive monoid it is
+    (bytefreq's tally is just counts): ``freq_v(N+1) = freq_vN ⊎ tally(new
+    turns)`` — exactly equal to a full-corpus recompute (asserted in
+    test_run_incremental), with only the new turns scanned.  New
+    conversations are decided against the dictionary as of their ingest;
+    conversations are ingest-atomic (all turns arrive together), so the
+    dup-lag and ordering semantics are unaffected.  The labels commit here
+    rewrites old+new as v(N+1) (the sandbox parquet stand-in); on Iceberg
+    this is a fast append of the new files to the table snapshot.
+
+    Returns ``(labels_df, n_new_turns)``.
+    """
+    config = dict(config or {}, version=1, salt=salt_partitions)
+    if snapshot_versions(out_dir, "labels"):
+        old_labels = read_snapshot(spark, out_dir, "labels")
+        existing = old_labels.select("conv_id").distinct()
+        new = transcripts.join(existing, "conv_id", "left_anti")
+    else:
+        old_labels, new = None, transcripts
+    n_new = new.count()
+    if n_new == 0:
+        return old_labels, 0
+
+    src = new.repartition(salt_partitions) if salt_partitions else new
+    delta = mask_frequency_dict(with_mask_key(src))
+    if snapshot_versions(out_dir, "freq"):
+        freq = (
+            read_snapshot(spark, out_dir, "freq")
+            .unionByName(delta)
+            .groupBy("lu_key")
+            .agg(F.sum("lu_count").alias("lu_count"))
+        )
+    else:
+        freq = delta
+    write_snapshot(freq, out_dir, "freq", config)
+    freq = read_snapshot(spark, out_dir, "freq")
+
+    feat = featurize(new, salt_partitions)
+    labeled_new = with_decision(
+        with_dup_flag(conversation_layout(with_mask_frequency(feat, freq)))
+    )
+    combined = (
+        labeled_new if old_labels is None
+        else old_labels.unionByName(labeled_new)
+    )
+    write_snapshot(combined, out_dir, "labels", config)
+    return read_snapshot(spark, out_dir, "labels"), n_new
+
+
 def conv_bucket_col(n_buckets: int) -> F.Column:
     """Stable conversation bucket: pmod(xxhash64(conv_id), n)."""
     return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")

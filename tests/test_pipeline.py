@@ -439,3 +439,49 @@ def test_labels_bucket_pruning(spark, tmp_path):
         F.col("conv_bucket") == int(bucket)).select(
         F.input_file_name()).distinct().collect()]
     assert files and all(f"conv_bucket={bucket}/" in f for f in files)
+
+
+def test_run_incremental(spark, tmp_path):
+    """Incremental ingest: only new conversations are labeled, the mask
+    dictionary is maintained as an additive monoid (exactly equal to the
+    full-corpus tally), new rows match a full recompute, and re-ingesting
+    the same corpus is a no-op."""
+    from bytefreq_spark.pipeline import (
+        mask_frequency_dict, quality_filter, read_snapshot, run_incremental,
+        snapshot_versions, with_mask_key,
+    )
+    from bytefreq_spark.synth import gen_transcripts_spark
+
+    out = str(tmp_path)
+    a = gen_transcripts_spark(spark, 40)
+    lab1, n1 = run_incremental(spark, a, out, salt_partitions=8)
+    assert n1 == a.count() and lab1.count() == n1
+
+    ab = gen_transcripts_spark(spark, 70)  # serials 0..69 ⊃ A's 0..39
+    b_only = ab.join(a.select("conv_id").distinct(), "conv_id", "left_anti")
+    lab2, n2 = run_incremental(spark, ab, out, salt_partitions=8)
+    assert n2 == b_only.count() and n2 > 0
+    assert lab2.count() == ab.count()
+    assert snapshot_versions(out, "labels") == [1, 2]
+
+    # monoid check: incrementally-maintained dictionary == full-corpus tally
+    freq_inc = {r["lu_key"]: r["lu_count"]
+                for r in read_snapshot(spark, out, "freq").collect()}
+    freq_full = {r["lu_key"]: r["lu_count"]
+                 for r in mask_frequency_dict(with_mask_key(ab)).collect()}
+    assert freq_inc == freq_full
+
+    # the new batch's decisions equal a full recompute's decisions for the
+    # same conversations (both see the full dictionary)
+    cols = ["conv_id", "turn_idx", "keep", "drop_reason"]
+    b_ids = b_only.select("conv_id").distinct()
+    got_b = lab2.join(b_ids, "conv_id").select(cols)
+    want_b = quality_filter(ab, salt_partitions=8).join(
+        b_ids, "conv_id").select(cols)
+    assert got_b.exceptAll(want_b).count() == 0
+    assert want_b.exceptAll(got_b).count() == 0
+
+    # idempotence: same corpus again → nothing new, table unchanged
+    lab3, n3 = run_incremental(spark, ab, out, salt_partitions=8)
+    assert n3 == 0 and lab3.count() == ab.count()
+    assert snapshot_versions(out, "labels") == [1, 2]

@@ -158,7 +158,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                                   skew_len=100_000).cache()
     n_whale = whale.count()
     t0 = time.time()
-    _materialize(quality_filter(whale, salt_partitions=CPUS * 2))
+    _materialize(quality_filter(whale, salt_partitions=CPUS * 2,
+                                dict_salt_partitions=CPUS * 2))
     dtw = time.time() - t0
     timings["quality_filter_whale"] = round(dtw, 3)
     timings["_whale_turns"] = n_whale

@@ -284,6 +284,7 @@ def quality_filter(
     ordered: bool = True,
     drop_text: bool = False,
     freq_source: str = "rescan",
+    dict_salt_partitions: int | None = None,
 ) -> DataFrame:
     """Full pipeline: transcripts → labeled/scrubbed turns.
 
@@ -321,13 +322,22 @@ def quality_filter(
         feat = feat.persist(StorageLevel.DISK_ONLY)
         freq = mask_frequency_dict(feat)
     else:
-        # the rescan branch inherits the INPUT's partition layout — salt it
-        # with the same knob as featurize, or one whale conversation sitting
-        # in one input partition serializes the JVM mask pass (measured 2.4×
-        # on the whale bench shape).  On splittable parquet/Iceberg inputs
-        # maxPartitionBytes already rebalances and the salt exchange is
-        # skippable by passing salt_partitions=None.
-        src = df.repartition(salt_partitions) if salt_partitions else df
+        # the rescan branch inherits the INPUT's partition layout.
+        # ``dict_salt_partitions`` (explicit opt-in) round-robins it first:
+        # needed when the input is a NON-splittable skewed source (cached
+        # frame, generator, one whale conversation per partition — measured
+        # 2.4× on the whale shape), because the JVM mask pass then
+        # serializes on the fat partition.  Default OFF: on splittable
+        # parquet/Iceberg inputs maxPartitionBytes already rebalances the
+        # scan, and the extra text exchange would be pure overhead
+        # (measured ~1.5 s on the balanced 184k-turn bench corpus).  The
+        # two salts can't share one physical exchange: Catalyst prunes the
+        # dict branch to `text` below the shuffle, so the subtrees differ
+        # and ReuseExchange does not apply.
+        src = (
+            df.repartition(dict_salt_partitions)
+            if dict_salt_partitions else df
+        )
         freq = mask_frequency_dict(with_mask_key(src))
     with_freq = with_mask_frequency(feat, freq)
     # ONE wide shuffle: conversation layout → exchange-free lag window →

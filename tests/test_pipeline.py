@@ -213,8 +213,10 @@ def test_whale_conversation_stress(spark):
     assert whale["count"] == 100_000  # the whale is really there
     assert n < whale["count"] * 1.5   # ...and dominates the corpus
 
-    # (a) completes, labels every turn
-    out = quality_filter(tr, salt_partitions=16).cache()
+    # (a) completes, labels every turn (dict salt opted in: the cached
+    # generator layout is exactly the non-splittable skewed source the knob
+    # exists for)
+    out = quality_filter(tr, salt_partitions=16, dict_salt_partitions=16).cache()
     assert out.count() == n
     assert out.filter(F.col("keep").isNull()).count() == 0
 

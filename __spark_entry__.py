@@ -314,11 +314,12 @@ def q_ivf_partitioned_topk(spark, sf_dir):
     return ivf_topk_partitioned(spark, IVF_LAYOUT_DIR, qvec, cents, k=10, n_probe=3)
 
 
-# fixed paths (no sf suffix): the oracle SQL below reads the same staged
-# artifacts the Spark query wrote earlier in the same process
-IVF_LAYOUT_DIR = "/tmp/bytefreq_r3_ivf_layout"
-IVF_PROBES_DIR = "/tmp/bytefreq_r3_ivf_probes"
-IVF_QUERY_DIR = "/tmp/bytefreq_r3_ivf_query"
+# PID-suffixed paths: the oracle SQL below reads the same staged artifacts
+# the Spark query wrote earlier in the same process; concurrent driver
+# processes each get their own staging root
+IVF_LAYOUT_DIR = f"/tmp/bytefreq_r3_ivf_layout_{os.getpid()}"
+IVF_PROBES_DIR = f"/tmp/bytefreq_r3_ivf_probes_{os.getpid()}"
+IVF_QUERY_DIR = f"/tmp/bytefreq_r3_ivf_query_{os.getpid()}"
 
 
 def q_langid_docs(spark, sf_dir):
@@ -354,10 +355,15 @@ def q_lsh_hot_buckets(spark, sf_dir):
     """The boilerplate side table (hot LSH buckets the cap drops before the
     self-join), with a planted 150-doc flood of one support-boilerplate
     string.  Oracle: DuckDB replays the >max_bucket group-by over the staged
-    banded signatures."""
-    from bytefreq_spark.dedup import _banded, lsh_hot_buckets, minhash_signatures
+    banded signatures; the Spark result is computed from the SAME staged
+    table, so both sides see identical rows by construction."""
+    from bytefreq_spark.dedup import (
+        _banded, lsh_hot_buckets_from_banded, minhash_signatures,
+    )
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 200
+    )
     flood = spark.range(150).select(
         (F.col("id") + 500000).alias("doc_id"),
         F.lit("Thank you for contacting support how can I help you today"
@@ -367,27 +373,34 @@ def q_lsh_hot_buckets(spark, sf_dir):
     _banded(sigs, "doc_id", 16, 4).write.mode("overwrite").parquet(
         HOTBUCKET_BANDS_DIR
     )
-    return lsh_hot_buckets(sigs, max_bucket=64).orderBy("band", "band_hash")
+    banded = spark.read.parquet(HOTBUCKET_BANDS_DIR)
+    return lsh_hot_buckets_from_banded(banded, max_bucket=64).orderBy(
+        "band", "band_hash"
+    )
 
 
-MINHASH_SIGS_DIR = "/tmp/bytefreq_r3_minhash_sigs"
-MINHASH_BANDS_DIR = "/tmp/bytefreq_r3_minhash_bands"
-HOTBUCKET_BANDS_DIR = "/tmp/bytefreq_r3_hotbucket_bands"
-SIMHASH_GROUPS_DIR = "/tmp/bytefreq_r3_simhash_vals"
-SIMHASH_BANDS_DIR = "/tmp/bytefreq_r3_simhash_bands"
-ANN_SIGS_DIR = "/tmp/bytefreq_r3_ann_sigs"
-ANN_PROBES_DIR = "/tmp/bytefreq_r3_ann_probes"
-ANN_QUERY_DIR = "/tmp/bytefreq_r3_ann_query"
+# staging roots for the replay oracles, PID-suffixed so concurrent driver
+# processes can't clobber each other's artifacts (the oracle SQL is built in
+# the same process that ran the Spark query, so the suffix always agrees)
+_STAGE_TAG = os.getpid()
+MINHASH_SIGS_DIR = f"/tmp/bytefreq_r3_minhash_sigs_{_STAGE_TAG}"
+MINHASH_BANDS_DIR = f"/tmp/bytefreq_r3_minhash_bands_{_STAGE_TAG}"
+HOTBUCKET_BANDS_DIR = f"/tmp/bytefreq_r3_hotbucket_bands_{_STAGE_TAG}"
+SIMHASH_GROUPS_DIR = f"/tmp/bytefreq_r3_simhash_vals_{os.getpid()}"
+SIMHASH_BANDS_DIR = f"/tmp/bytefreq_r3_simhash_bands_{os.getpid()}"
+ANN_SIGS_DIR = f"/tmp/bytefreq_r3_ann_sigs_{os.getpid()}"
+ANN_PROBES_DIR = f"/tmp/bytefreq_r3_ann_probes_{os.getpid()}"
+ANN_QUERY_DIR = f"/tmp/bytefreq_r3_ann_query_{os.getpid()}"
 
 
 def q_simhash_groups(spark, sf_dir):
     """Identical-simhash groups, ORACLED: the (doc_id, simhash) table is
-    staged; DuckDB replays the group-by.  The simhash expression itself is
-    native Spark (pytest-covered)."""
+    staged; both the Spark group-by and the DuckDB replay read it.  The
+    simhash expression itself is native Spark (pytest-covered)."""
     from bytefreq_spark.dedup import simhash_col
 
     docs = _read(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text").limit(100)
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 100)
     dup = base.withColumn("doc_id", F.col("doc_id") + 1000000)
     both = base.union(dup)
     both.select(
@@ -410,22 +423,24 @@ def q_simhash_groups(spark, sf_dir):
 
 def q_simhash_hamming(spark, sf_dir):
     """Hamming-neighbor simhash near-dups (banded pigeonhole, no all-pairs),
-    ORACLED: the banded table is staged; DuckDB replays cap + self-join +
-    bit_count(xor) hamming filter."""
-    from bytefreq_spark.dedup import simhash_banded, simhash_near_dup_pairs
+    ORACLED: the banded table is staged; BOTH the Spark cap+join+bit_count
+    pipeline and the DuckDB replay run over the same staged rows."""
+    from bytefreq_spark.dedup import simhash_banded, simhash_pairs_from_banded
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 80
+    )
     near = docs.withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
         "text", F.concat(F.col("text"), F.lit(" trailing tail"))
     )
-    both = docs.union(near)
-    simhash_banded(both, bands=16).write.mode("overwrite").parquet(
-        SIMHASH_BANDS_DIR
-    )
+    simhash_banded(docs.union(near), bands=16).write.mode(
+        "overwrite"
+    ).parquet(SIMHASH_BANDS_DIR)
+    banded = spark.read.parquet(SIMHASH_BANDS_DIR)
     # max_hamming=6 picked by probe: finds ~88% of planted +2-token dups on
     # the word-salad docs while keeping incidental same-vocab pairs bounded
-    return simhash_near_dup_pairs(
-        both, max_hamming=6, bands=16
+    return simhash_pairs_from_banded(
+        banded, max_hamming=6, bands=16
     ).orderBy("id_a", "id_b")
 
 

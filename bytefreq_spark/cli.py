@@ -169,18 +169,15 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.read.parquet(args.input)
         if args.byte_level:
             named = byte_histogram_named(df, args.column)
-            if args.output:
-                named.write.mode("overwrite").parquet(args.output)
-                print(json.dumps({"output": args.output}))
-            else:
-                print(render_byte_report(df, args.column))
+            render = lambda: render_byte_report(df, args.column)  # noqa: E731
         else:
             named = char_histogram_named(df, args.column)
-            if args.output:
-                named.write.mode("overwrite").parquet(args.output)
-                print(json.dumps({"output": args.output}))
-            else:
-                print(render_cp_report(named))
+            render = lambda: render_cp_report(named)  # noqa: E731
+        if args.output:
+            named.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"output": args.output}))
+        else:
+            print(render())
     elif args.cmd == "dedup":
         from .dedup import (
             dedup_exact, minhash_near_dups, simhash_near_dup_pairs,

@@ -169,9 +169,10 @@ def minhash_udf(n_hashes: int = 64, shingle: int = 5, seed: int = 42):
     """pandas UDF: text → array<long> minhash signature.
 
     Shingles are character k-grams hashed with a polynomial rolling hash;
-    the permutation family is the standard (a·x + b) mod p universal family.
-    The kernel is fully batch-vectorized (``_minhash_batch``) — no per-row
-    Python in the hot path.
+    the permutation family is multiply-shift — ``(a·x + b) mod 2^64``
+    (min ranks by the well-mixed high product bits; one SIMD mul+add per
+    element).  The kernel is fully batch-vectorized (``_minhash_batch``) —
+    no per-row Python in the hot path.
     """
     a_params, b_params = _hash_params(n_hashes, seed)
 
@@ -229,6 +230,18 @@ def _cap_hot_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
     )
 
 
+def lsh_hot_buckets_from_banded(
+    banded: DataFrame, id_col: str = "doc_id", max_bucket: int = 64,
+) -> DataFrame:
+    """Hot-bucket side table from a prebuilt banded table (e.g. one staged
+    to parquet — the driver contract replays exactly this group-by)."""
+    return (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("rep_id"))
+        .filter(F.col("n") > max_bucket)
+    )
+
+
 def lsh_hot_buckets(
     signatures: DataFrame, id_col: str = "doc_id",
     bands: int = 16, rows_per_band: int = 4, max_bucket: int = 64,
@@ -236,11 +249,7 @@ def lsh_hot_buckets(
     """The boilerplate side table: buckets the cap dropped, with sizes and a
     representative id — feed to a boilerplate-class review pipeline."""
     banded = _banded(signatures, id_col, bands, rows_per_band)
-    return (
-        banded.groupBy("band", "band_hash")
-        .agg(F.count("*").alias("n"), F.min(id_col).alias("rep_id"))
-        .filter(F.col("n") > max_bucket)
-    )
+    return lsh_hot_buckets_from_banded(banded, id_col, max_bucket)
 
 
 def lsh_candidate_pairs(
@@ -391,6 +400,19 @@ def simhash_near_dup_pairs(
     """
     assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
     banded = simhash_banded(df, text_col, id_col, bands)
+    return simhash_pairs_from_banded(
+        banded, id_col, max_hamming=max_hamming, bands=bands,
+        max_bucket=max_bucket,
+    )
+
+
+def simhash_pairs_from_banded(
+    banded: DataFrame, id_col: str = "doc_id",
+    max_hamming: int = 3, bands: int = 8, max_bucket: int | None = 256,
+) -> DataFrame:
+    """Cap + self-join + hamming filter over a prebuilt banded table (e.g.
+    one staged to parquet — the driver contract replays exactly this)."""
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
     if max_bucket is not None:
         from pyspark.sql import Window
 

@@ -362,9 +362,13 @@ def run_incremental(
     snapshot and commits new snapshot versions.
 
     The mask-frequency dictionary is maintained as the additive monoid it is
-    (bytefreq's tally is just counts): ``freq_v(N+1) = freq_vN ⊎ tally(new
+    (bytefreq's tally is just counts): ``freq(N+1) = freq(N) ⊎ tally(new
     turns)`` — exactly equal to a full-corpus recompute (asserted in
-    test_run_incremental), with only the new turns scanned.  New
+    test_run_incremental), with only the new turns scanned.  Crash safety:
+    the labels table is the ONLY commit point (it retains ``lu_key``); the
+    freq snapshot is a derived cache validity-keyed to the labels version,
+    rebuilt from labels whenever the key mismatches — a failure between the
+    labels and freq commits can never double- or under-count.  New
     conversations are decided against the dictionary as of their ingest;
     conversations are ingest-atomic (all turns arrive together), so the
     dup-lag and ordering semantics are unaffected.  The labels commit here
@@ -381,22 +385,33 @@ def run_incremental(
     else:
         old_labels, new = None, transcripts
     n_new = new.count()
-    if n_new == 0:
+    if n_new == 0 and old_labels is not None:
         return old_labels, 0
 
+    # THE single source of truth is the labels table (it retains lu_key), so
+    # the dictionary has exactly ONE commit point: the labels commit.  The
+    # freq snapshot is a pure cache of tally(labels.lu_key), validity-keyed
+    # to the labels version it was derived from — a crash between the two
+    # commits can never double- or under-count (the cache is simply
+    # recomputed from labels when its key doesn't match).
+    labels_v = snapshot_versions(out_dir, "labels")
+    cur_labels_v = labels_v[-1] if labels_v else 0
+    freq_cfg = dict(config, labels_version=cur_labels_v)
+    if old_labels is None:
+        freq_old = None
+    elif snapshot_valid(out_dir, "freq", freq_cfg):
+        freq_old = read_snapshot(spark, out_dir, "freq")
+    else:  # stale or missing cache → rebuild from the committed labels
+        freq_old = (
+            old_labels.groupBy("lu_key").agg(F.count("*").alias("lu_count"))
+        )
     src = new.repartition(salt_partitions) if salt_partitions else new
     delta = mask_frequency_dict(with_mask_key(src))
-    if snapshot_versions(out_dir, "freq"):
-        freq = (
-            read_snapshot(spark, out_dir, "freq")
-            .unionByName(delta)
-            .groupBy("lu_key")
-            .agg(F.sum("lu_count").alias("lu_count"))
-        )
-    else:
-        freq = delta
-    write_snapshot(freq, out_dir, "freq", config)
-    freq = read_snapshot(spark, out_dir, "freq")
+    freq = (
+        delta if freq_old is None
+        else freq_old.unionByName(delta).groupBy("lu_key").agg(
+            F.sum("lu_count").alias("lu_count"))
+    )
 
     feat = featurize(new, salt_partitions)
     labeled_new = with_decision(
@@ -406,8 +421,15 @@ def run_incremental(
         labeled_new if old_labels is None
         else old_labels.unionByName(labeled_new)
     )
-    write_snapshot(combined, out_dir, "labels", config)
-    return read_snapshot(spark, out_dir, "labels"), n_new
+    write_snapshot(combined, out_dir, "labels", config)  # THE commit point
+    labels = read_snapshot(spark, out_dir, "labels")
+    # refresh the dictionary cache, keyed to the version just committed
+    new_v = snapshot_versions(out_dir, "labels")[-1]
+    write_snapshot(
+        labels.groupBy("lu_key").agg(F.count("*").alias("lu_count")),
+        out_dir, "freq", dict(config, labels_version=new_v),
+    )
+    return labels, n_new
 
 
 def conv_bucket_col(n_buckets: int) -> F.Column:
@@ -514,9 +536,11 @@ def snapshot_versions(out_dir: str, name: str) -> list[int]:
 def expire_snapshots(out_dir: str, name: str, keep_last: int = 1) -> list[int]:
     """Iceberg-style maintenance: drop all but the newest ``keep_last``
     versions (data dirs deleted, log entries removed, current pointer kept).
+    The current version always survives, so ``keep_last`` is clamped to ≥ 1.
     Returns the expired version ids."""
     import shutil
 
+    keep_last = max(keep_last, 1)
     man = _load_manifest(out_dir, name)
     if man is None:
         return []
@@ -563,25 +587,30 @@ def run_with_checkpoints(
 
     if snapshot_valid(out_dir, "labels", config):
         labels = read_snapshot(spark, out_dir, "labels")
+        labels_resumed = True
     else:
         laid_out = conversation_layout(with_mask_frequency(feat))
         labels = with_decision(with_dup_flag(laid_out))
         write_snapshot(labels, out_dir, "labels", config)
         labels = read_snapshot(spark, out_dir, "labels")
+        labels_resumed = False
 
-    # metrics + lineage tables alongside the labels snapshot
-    metrics = (
-        labels.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.count("*").alias("rows"),
-            F.sum(F.col("keep").cast("int")).alias("kept"),
-            F.approx_count_distinct("conv_id").alias("convs"),
+    # metrics + lineage tables alongside the labels snapshot — derived
+    # output, so a fully-resumed run skips rewriting them (otherwise every
+    # resume would append another identical snapshot version)
+    if not labels_resumed or not snapshot_valid(out_dir, "metrics", config):
+        metrics = (
+            labels.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.col("keep").cast("int")).alias("kept"),
+                F.approx_count_distinct("conv_id").alias("convs"),
+            )
         )
-    )
-    write_snapshot(metrics, out_dir, "metrics", config)
-    lineage = (
-        labels.select(F.input_file_name().alias("file"))
-        .groupBy("file").agg(F.count("*").alias("rows"))
-    )
-    write_snapshot(lineage, out_dir, "lineage", config)
+        write_snapshot(metrics, out_dir, "metrics", config)
+        lineage = (
+            labels.select(F.input_file_name().alias("file"))
+            .groupBy("file").agg(F.count("*").alias("rows"))
+        )
+        write_snapshot(lineage, out_dir, "lineage", config)
     return labels

@@ -124,7 +124,11 @@ def hyperplane_signatures(
 ) -> DataFrame:
     """Signature column with implementation routing: native expressions for
     small plane×dim products (stays in codegen), Arrow matmul above
-    ``LSH_NATIVE_MAX_TERMS`` (equivalence-tested bit-for-bit at both dims)."""
+    ``LSH_NATIVE_MAX_TERMS``.  Equivalence-tested at dims 16 and 768; the
+    one caveat is a dot product within float rounding of zero, where the
+    native sequential fold and BLAS blocked summation could round to
+    opposite signs — for a FIXED config the routing (and thus the summation
+    order) is deterministic, so an index never mixes the two paths."""
     if impl == "auto":
         impl = "native" if planes.size <= LSH_NATIVE_MAX_TERMS else "arrow"
     col = (

@@ -127,8 +127,10 @@ def main():
         ("ivf_cluster isin lands as PartitionFilters on the scan",
          lambda p: "PartitionFilters" in p
          and "ivf_cluster" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]),
+        # formatted explain puts Filter conditions on their own
+        # "Condition :" line — match that, not the node header line
         ("no post-scan filter on ivf_cluster (pruning, not filtering)",
-         lambda p: not re.search(r"^\(\d+\) Filter.*ivf_cluster", p, re.M)),
+         lambda p: not re.search(r"^Condition.*ivf_cluster", p, re.M)),
         ("top-k planned as TakeOrderedAndProject (no global sort)",
          lambda p: "TakeOrderedAndProject" in p),
     ])

@@ -487,3 +487,21 @@ def test_run_incremental(spark, tmp_path):
     lab3, n3 = run_incremental(spark, ab, out, salt_partitions=8)
     assert n3 == 0 and lab3.count() == ab.count()
     assert snapshot_versions(out, "labels") == [1, 2]
+
+    # crash safety: a stale/corrupt freq cache (validity key mismatching the
+    # labels version — what a crash between the labels and freq commits
+    # leaves behind) is ignored and rebuilt from the committed labels table
+    from bytefreq_spark.pipeline import write_snapshot
+
+    bogus = spark.createDataFrame([("zzzz", 999999)],
+                                  "lu_key string, lu_count long")
+    write_snapshot(bogus, out, "freq", {"labels_version": -1})
+    abc = gen_transcripts_spark(spark, 85)
+    lab4, n4 = run_incremental(spark, abc, out, salt_partitions=8)
+    assert n4 > 0 and lab4.count() == abc.count()
+    freq_inc3 = {r["lu_key"]: r["lu_count"]
+                 for r in read_snapshot(spark, out, "freq").collect()}
+    freq_full3 = {r["lu_key"]: r["lu_count"]
+                  for r in mask_frequency_dict(with_mask_key(abc)).collect()}
+    assert freq_inc3 == freq_full3
+    assert "zzzz" not in freq_inc3

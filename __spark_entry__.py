@@ -636,6 +636,31 @@ def q_byte_histogram(spark, sf_dir):
     return byte_histogram(cust, "c_mktsegment").withColumnRenamed("count", "cnt")
 
 
+def q_column_stats(spark, sf_dir):
+    """Per-column profiling stats (nulls / distinct / min / max / avg len)
+    over the stringly-typed melt, with planted NULLs so the null counter is
+    exercised."""
+    from bytefreq_spark.profile import column_stats
+
+    cust = _read(spark, sf_dir, "customer")
+    v = cust.select(
+        "c_name",
+        F.when(F.col("c_mktsegment") != "BUILDING", F.col("c_mktsegment"))
+        .alias("seg_nullable"),
+    )
+    return column_stats(v, ["c_name", "seg_nullable"])
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based session-window aggregation over the events table (native
+    session_window — identical expression in batch and streaming); oracle
+    replays the lag-diff > gap break + running-sum session id in SQL."""
+    from bytefreq_spark.events import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    return sessionize(ev, gap="30 minutes")
+
+
 def q_byte_histogram_named(spark, sf_dir):
     """A8+J3: byte histogram enriched with the reconstructed 256-entry byte
     dim (charfreq.awk's ref-table shape) via broadcast join."""
@@ -930,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doubled_columns": q_doubled_columns,
         "byte_histogram": q_byte_histogram,
         "byte_histogram_named": q_byte_histogram_named,
+        "column_stats": q_column_stats,
+        "sessionize_events": q_sessionize_events,
         "json_profile_props": q_json_profile_props,
         "encoding_repair": q_encoding_repair,
         "ragged_columns": q_ragged_columns,
@@ -1185,6 +1212,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT unicode(c) AS byte, count(*) AS cnt
             FROM (SELECT unnest(string_split(c_mktsegment, '')) AS c FROM customer)
             WHERE c <> '' GROUP BY 1
+        """,
+        "column_stats": """
+            WITH v AS (
+              SELECT c_name,
+                     CASE WHEN c_mktsegment <> 'BUILDING' THEN c_mktsegment
+                          END AS seg_nullable
+              FROM customer
+            ), m AS (
+              SELECT 'c_name' AS "column", c_name AS raw FROM v
+              UNION ALL
+              SELECT 'seg_nullable', seg_nullable FROM v
+            )
+            SELECT "column", count(*) AS n_rows,
+                   sum(CASE WHEN raw IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   count(DISTINCT raw) AS n_distinct,
+                   min(raw) AS min_val, max(raw) AS max_val,
+                   round(avg(length(raw)), 4) AS avg_len
+            FROM m GROUP BY 1 ORDER BY 1
+        """,
+        "sessionize_events": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id AS user,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid ORDER BY 1, 2
         """,
         "byte_histogram_named": f"""
             WITH d(b, ch, descr) AS (VALUES {_byte_dim_values_sql()})

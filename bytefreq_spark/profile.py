@@ -245,6 +245,27 @@ def byte_histogram(df: DataFrame, column: str) -> DataFrame:
     return exploded.groupBy("byte").agg(F.count("*").alias("count")).orderBy("byte")
 
 
+def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column summary statistics over the stringly-typed melt — the
+    profiling companion to the mask reports: ``(column, n_rows, n_null,
+    n_distinct, min_val, max_val, avg_len)``.  One melt + one grouped agg
+    (exact distinct for oracle-ability; swap in approx_count_distinct on the
+    100 TB path where ±2 % is fine and the agg stays one pass)."""
+    long = melt(df, columns)
+    return (
+        long.groupBy("column")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("raw").isNull().cast("long")).alias("n_null"),
+            F.count_distinct("raw").alias("n_distinct"),
+            F.min("raw").alias("min_val"),
+            F.max("raw").alias("max_val"),
+            F.round(F.avg(F.length("raw")), 4).alias("avg_len"),
+        )
+        .orderBy("column")
+    )
+
+
 def byte_dim_rows() -> list[tuple]:
     """The 256 rows of the byte dimension — the shape of charfreq.awk's
     ``ref`` table (charfreq.awk:7-263), independently reconstructed from

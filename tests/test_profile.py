@@ -109,3 +109,47 @@ def test_per_file_counts(spark, sf_dir):
     assert len(rows) >= 1
     assert sum(r["rows"] for r in rows) == ev.count()
     assert all("events.parquet" in r["file"] for r in rows)
+
+
+def test_column_stats_with_nulls(spark):
+    from bytefreq_spark.profile import column_stats
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("bb", None), ("a", "yyy")], "p string, q string"
+    )
+    rows = {r["column"]: r for r in column_stats(df).collect()}
+    assert rows["p"]["n_rows"] == 3 and rows["p"]["n_null"] == 0
+    assert rows["p"]["n_distinct"] == 2
+    assert rows["p"]["min_val"] == "a" and rows["p"]["max_val"] == "bb"
+    assert abs(rows["p"]["avg_len"] - 4 / 3) < 1e-3
+    assert rows["q"]["n_null"] == 1 and rows["q"]["n_distinct"] == 2
+    # avg over NON-NULL lengths only (SQL avg semantics, matches the oracle)
+    assert rows["q"]["avg_len"] == 2.0
+
+
+def test_sessionize_gap_boundary(spark):
+    """Session-window semantics: an event exactly `gap` after the previous
+    one still MERGES (the window is closed at ts+gap); only strictly-beyond
+    starts a new session."""
+    from bytefreq_spark.events import sessionize
+
+    rows = [
+        (1, "2025-01-01 00:00:00"),
+        (1, "2025-01-01 00:29:59"),  # merges (< 30 min after previous)
+        (1, "2025-01-01 00:59:59"),  # merges (extends the session)
+        (1, "2025-01-01 01:29:59"),  # exactly 30:00 after -> still merges
+        (1, "2025-01-01 02:00:00"),  # 30:01 after -> NEW session
+        (2, "2025-01-01 05:00:00"),  # other user, own session
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = [(r["user"], r["session_start"], r["n_events"])
+           for r in sessionize(df, gap="30 minutes").collect()]
+    assert got == [
+        (1, "2025-01-01 00:00:00", 4),
+        (1, "2025-01-01 02:00:00", 1),
+        (2, "2025-01-01 05:00:00", 1),
+    ]

@@ -549,6 +549,45 @@ def q_streaming_mask_freq(spark, sf_dir):
     )
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Sessionization as a REAL stateful streaming query: file source →
+    watermarked session_window aggregation → memory sink (availableNow).
+    Third stateful streaming shape in the contract (after the windowed agg
+    and applyInPandasWithState); bounded input ⇒ the batch session oracle
+    applies unchanged."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stage_dir = _tmp_path(sf_dir, "stream_sessions")
+    os.makedirs(stage_dir, exist_ok=True)
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(schema).parquet(stage_dir)
+    ts = F.col("ts").cast("timestamp")
+    agg = (
+        stream.withColumn("ts", ts)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.session_window("ts", "30 minutes"),
+            F.col("user_id").alias("user"),
+        )
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("_last"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sessions_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table("sessions_out").select(
+        "user",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("_last", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "n_events",
+    )
+
+
 def q_quality_filter_transcripts(spark, sf_dir):
     from bytefreq_spark.pipeline import quality_filter
     from bytefreq_spark.synth import gen_transcripts_spark
@@ -982,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": q_langid_docs,
         "stateful_dedup_stream": q_stateful_dedup_stream,
         "streaming_mask_freq": q_streaming_mask_freq,
+        "streaming_sessions": q_streaming_sessions,
         "quality_filter_transcripts": q_quality_filter_transcripts,
         "checkpoint_resume": q_checkpoint_resume,
         "multimodal_features": q_multimodal_features,
@@ -1403,6 +1443,25 @@ def oracle_sql() -> dict[str, str]:
                    {duckdb_mask_sql("event_type", "LU")} AS pattern,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2, 3
+        """,
+        "streaming_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id AS user,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "mask_freq_awk_l": f"""
             SELECT 'c_name' AS "column", {duckdb_mask_sql("c_name", "AWK_L")} AS pattern,

@@ -620,9 +620,29 @@ def q_checkpoint_resume(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    from bytefreq_spark.multimodal import extract_features, synth_media
+    """Multimodal plumbing, now ORACLED: deterministic ASCII payloads ride
+    through the REAL binary-column mapInPandas path (encode → blob →
+    sha256-seeded features, blobs dropped before shuffle); the staged
+    payload strings let DuckDB independently recompute the first feature
+    component from sha256 (including the float32 rounding) plus byte
+    lengths.  Random-binary payloads stay covered by the synth_media
+    pytest."""
+    from bytefreq_spark.multimodal import extract_features
 
-    media = synth_media(spark, n=48)
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    base = spark.range(48).select(
+        F.col("id").alias("media_id"),
+        F.element_at(kinds, (F.col("id") % 3 + 1).cast("int")).alias("kind"),
+        F.concat(
+            F.lit("payload-"), F.col("id"), F.lit("-"),
+            F.repeat(F.lit("x"), (F.col("id") % 50 + 10).cast("int")),
+        ).alias("payload_str"),
+    )
+    base.coalesce(1).write.mode("overwrite").parquet(MEDIA_STR_DIR)
+    staged = spark.read.parquet(MEDIA_STR_DIR)
+    media = staged.select(
+        "media_id", "kind", F.encode("payload_str", "UTF-8").alias("payload")
+    )
     feats = extract_features(media)
     # scalarize the feature vector for the driver canonicalizer (arrays in
     # output cells crash its sort_values); dims + first component keep the
@@ -632,6 +652,9 @@ def q_multimodal_features(spark, sf_dir):
         F.size("features").alias("n_dims"),
         F.round(F.element_at("features", 1).cast("double"), 6).alias("feat_0"),
     )
+
+
+MEDIA_STR_DIR = f"/tmp/bytefreq_r3_media_str_{os.getpid()}"
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -1443,6 +1466,27 @@ def oracle_sql() -> dict[str, str]:
                    {duckdb_mask_sql("event_type", "LU")} AS pattern,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2, 3
+        """,
+        "multimodal_features": f"""
+            WITH m AS (
+              SELECT media_id, kind, payload_str,
+                     sha256(payload_str) AS h
+              FROM read_parquet('{MEDIA_STR_DIR}/*.parquet')
+            )
+            SELECT media_id, kind,
+                   length(payload_str) AS n_bytes,
+                   16 AS n_dims,
+                   round(CAST(CAST(CAST((
+                     ((strpos('0123456789abcdef', substr(h,1,1))-1)*16
+                       + strpos('0123456789abcdef', substr(h,2,1))-1)
+                     + ((strpos('0123456789abcdef', substr(h,3,1))-1)*16
+                       + strpos('0123456789abcdef', substr(h,4,1))-1)*256
+                     + ((strpos('0123456789abcdef', substr(h,5,1))-1)*16
+                       + strpos('0123456789abcdef', substr(h,6,1))-1)*65536
+                     + ((strpos('0123456789abcdef', substr(h,7,1))-1)*16
+                       + strpos('0123456789abcdef', substr(h,8,1))-1)*16777216
+                   ) AS DOUBLE)/4294967295 AS FLOAT) AS DOUBLE), 6) AS feat_0
+            FROM m
         """,
         "streaming_sessions": """
             WITH o AS (

@@ -41,6 +41,24 @@ def main():
         .orderBy("conv_id", "turn_idx").toPandas()
         .to_csv(os.path.join(GOLDEN, "quality_filter_120.csv"), index=False)
     )
+    import shutil
+    import tempfile
+
+    from bytefreq_spark.pipeline import run_with_checkpoints
+
+    ck = tempfile.mkdtemp(prefix="bfq_golden_ck_")
+    try:
+        tr60 = gen_transcripts_spark(spark, 60)
+        (
+            run_with_checkpoints(spark, tr60, ck, salt_partitions=8)
+            .select("conv_id", "turn_idx", "keep", "drop_reason")
+            .orderBy("conv_id", "turn_idx").toPandas()
+            .to_csv(os.path.join(GOLDEN, "checkpoint_labels_60.csv"),
+                    index=False)
+        )
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
     spark.stop()
     print(f"goldens written to {GOLDEN}")
 

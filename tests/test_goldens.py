@@ -68,3 +68,28 @@ def test_quality_filter_matches_golden(spark):
 @pytest.mark.parametrize("name", ["langid_sf0001.csv", "quality_filter_120.csv"])
 def test_goldens_checked_in(name):
     assert os.path.exists(os.path.join(GOLDEN, name))
+
+
+def test_checkpoint_labels_match_golden(spark, tmp_path):
+    """The checkpointed run's labels on the driver entry's corpus, frozen —
+    the last rows-only surface now matches fixed expectations, not just a
+    row count."""
+    from bytefreq_spark.pipeline import run_with_checkpoints
+    from bytefreq_spark.synth import gen_transcripts_spark
+
+    tr = gen_transcripts_spark(spark, 60)
+    got = (
+        run_with_checkpoints(spark, tr, str(tmp_path / "ck"), salt_partitions=8)
+        .select("conv_id", "turn_idx", "keep", "drop_reason")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    want = pd.read_csv(os.path.join(GOLDEN, "checkpoint_labels_60.csv"))
+    assert len(got) == len(want)
+    for df in (got, want):
+        df["drop_reason"] = df["drop_reason"].fillna("")
+        df["keep"] = df["keep"].astype(bool)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )

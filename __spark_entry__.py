@@ -619,6 +619,31 @@ def q_checkpoint_resume(spark, sf_dir):
     ).orderBy("conv_id", "turn_idx")
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over a planted-duplicate corpus
+    (every vector duplicated at id+100000): banded hyperplane LSH self-join
+    + exact cosine filter.  Oracle: DuckDB replays cap + band self-join over
+    the staged banded signatures and rescoring against the reconstructible
+    vector union."""
+    from bytefreq_spark.similarity import (
+        embedding_banded_signatures, embedding_near_dup_pairs, make_planes,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    both = emb.union(emb.withColumn("vec_id", F.col("vec_id") + 100000))
+    dim = len(emb.select("embedding").first()[0])
+    planes = make_planes(dim, 16, seed=42)
+    embedding_banded_signatures(both, planes, bands=4).write.mode(
+        "overwrite"
+    ).parquet(EMB_BANDS_DIR)
+    return embedding_near_dup_pairs(
+        both, threshold=0.99, n_planes=16, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+EMB_BANDS_DIR = f"/tmp/bytefreq_r3_emb_bands_{os.getpid()}"
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing, now ORACLED: deterministic ASCII payloads ride
     through the REAL binary-column mapInPandas path (encode → blob →
@@ -1039,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": q_simhash_hamming,
         "ann_lsh": q_ann_lsh,
         "pairwise_topk": q_pairwise_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         # rows-only (no SQL equivalent; langid + quality_filter are
         # golden-file-frozen in tests/test_goldens.py instead)
         "langid_docs": q_langid_docs,
@@ -1466,6 +1492,36 @@ def oracle_sql() -> dict[str, str]:
                    {duckdb_mask_sql("event_type", "LU")} AS pattern,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2, 3
+        """,
+        "embedding_near_dups": f"""
+            WITH u AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+            ), banded AS (
+              SELECT vec_id, band, band_sig
+              FROM read_parquet('{EMB_BANDS_DIR}/*.parquet')
+            ), capped AS (
+              SELECT vec_id, band, band_sig FROM (
+                SELECT b.*, count(*) OVER (PARTITION BY band, band_sig) AS bn
+                FROM banded b
+              ) WHERE bn <= 256
+            ), pairs AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM capped a JOIN capped b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.vec_id < b.vec_id
+            )
+            SELECT p.id_a, p.id_b,
+                   round(list_cosine_similarity(
+                     CAST(va.embedding AS DOUBLE[]),
+                     CAST(vb.embedding AS DOUBLE[])), 6) AS cosine
+            FROM pairs p
+            JOIN u va ON va.vec_id = p.id_a
+            JOIN u vb ON vb.vec_id = p.id_b
+            WHERE round(list_cosine_similarity(
+                     CAST(va.embedding AS DOUBLE[]),
+                     CAST(vb.embedding AS DOUBLE[])), 6) >= 0.99
+            ORDER BY 1, 2
         """,
         "multimodal_features": f"""
             WITH m AS (

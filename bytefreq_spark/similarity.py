@@ -277,6 +277,78 @@ def ivf_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def embedding_banded_signatures(
+    df: DataFrame, planes: np.ndarray,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    bands: int = 4, impl: str = "auto",
+) -> DataFrame:
+    """``(id, band, band_sig)``: the hyperplane signature split into
+    ``bands`` bit-bands (cosine-LSH banding: near-identical vectors agree on
+    at least one full band with high probability).  Exposed so the driver
+    contract can stage it for the DuckDB replay oracle."""
+    n_planes = planes.shape[0]
+    assert n_planes % bands == 0
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    sigs = hyperplane_signatures(df, planes, vec_col, "_sig", impl)
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("_sig", b * width).bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_sig"),
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.99,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    n_planes: int = 16, bands: int = 4, seed: int = 42,
+    max_bucket: int | None = 256, impl: str = "auto",
+) -> DataFrame:
+    """Corpus-wide embedding-cosine near-dup pairs — the dedup-shaped ANN:
+    banded hyperplane-LSH self-join generates candidates (any shared band ⇒
+    candidate; no all-pairs anywhere), exact cosine rescoring filters them.
+    Hot buckets (e.g. zero-ish or templated embeddings) are capped like the
+    minhash LSH path.  The exact filter means zero false positives by
+    construction; recall rides on bands/planes like any LSH."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = make_planes(dim, n_planes, seed)
+    banded = embedding_banded_signatures(df, planes, vec_col, id_col, bands, impl)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_sig")
+        banded = (
+            banded.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    scored = cands.join(va, "id_a").join(vb, "id_b").select(
+        "id_a", "id_b",
+        F.round(cosine_sim_col(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def lsh_probe_signatures(
     planes: np.ndarray, query_vec: list[float], probe_radius: int = 2,
 ) -> list[int]:

@@ -493,3 +493,33 @@ def test_bpe_regex_cross_engine_random(spark):
             f"select len(regexp_extract_all(?, '{pat}'))", [s]
         ).fetchone()[0]
         assert got[i] == want, (i, repr(s), got[i], want)
+
+
+def test_embedding_near_dup_pairs(spark):
+    """Corpus-wide embedding near-dup pairs: perturbed copies (cosine ~0.999)
+    among random vectors; LSH banding finds them, exact rescoring keeps zero
+    false positives at the threshold."""
+    import numpy as np
+
+    from bytefreq_spark.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(13)
+    dim = 16
+    rows = []
+    planted = set()
+    for i in range(300):
+        v = rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+        if i % 5 == 0:  # 60 planted near-dups: tiny perturbation
+            w = v + rng.standard_normal(dim) * 0.01
+            rows.append((i + 10000, [float(x) for x in w]))
+            planted.add((i, i + 10000))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    found = planted & set(got)
+    assert len(found) / len(planted) >= 0.9, (len(found), len(planted))
+    # the exact filter guarantees every reported pair clears the threshold
+    assert all(c >= 0.99 for c in got.values())
+    # random 16-dim pairs essentially never hit 0.99 → no junk pairs
+    assert len(set(got) - planted) <= 2

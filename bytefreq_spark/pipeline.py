@@ -546,13 +546,19 @@ def expire_snapshots(out_dir: str, name: str, keep_last: int = 1) -> list[int]:
         return []
     versions = sorted(int(v) for v in man["versions"])
     expire = [v for v in versions[:-keep_last] if v != int(man["current"])]
+    # manifest-first, delete-second: the manifest is the commit point, so it
+    # must never list a version whose data is gone.  A crash after the
+    # os.replace merely orphans data dirs (re-running expire or a later
+    # rmtree sweep reclaims them); the reverse order would break time travel
+    # on every surviving reader.
     for v in expire:
-        shutil.rmtree(os.path.join(out_dir, name, f"v{v}"), ignore_errors=True)
         man["versions"].pop(str(v), None)
     tmp = _manifest_path(out_dir, name) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(man, f, sort_keys=True)
     os.replace(tmp, _manifest_path(out_dir, name))
+    for v in expire:
+        shutil.rmtree(os.path.join(out_dir, name, f"v{v}"), ignore_errors=True)
     return expire
 
 

@@ -260,7 +260,12 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             F.count_distinct("raw").alias("n_distinct"),
             F.min("raw").alias("min_val"),
             F.max("raw").alias("max_val"),
-            F.round(F.avg(F.length("raw")), 4).alias("avg_len"),
+            # decimal, not double: both engines round the same double then
+            # cast, so the driver's typed value-hash can't diverge on a
+            # float-repr boundary (r3 lesson: DuckDB HUGEINT/float64 vs
+            # Spark bigint hash-mismatched with identical values)
+            F.round(F.avg(F.length("raw")), 4)
+            .cast("decimal(18,4)").alias("avg_len"),
         )
         .orderBy("column")
     )

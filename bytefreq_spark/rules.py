@@ -34,31 +34,121 @@ TIMESTAMP_FIELD_KEYWORDS = [
     "modified", "date", "ts", "datetime", "when",
 ]
 
-# Country dimension (J1).  The reference resolves names via the geonamescache
-# crate (assertions.rs:27); we embed a compact public ISO-3166 name→alpha3 dim
-# covering the fixture + common names.  UK constituents are special-cased
-# exactly as assertions.rs:9-18.
+# Country dimension (J1).  The reference resolves ~250 names via the
+# geonamescache crate (assertions.rs:27); we embed the FULL public ISO 3166-1
+# name→alpha-3 dim (every current ISO country, lowercase common name) plus the
+# alias long tail real customer data hits (historic names, abbreviations,
+# official long forms).  UK constituents are special-cased exactly as
+# assertions.rs:9-18.
 COUNTRY_ISO3 = {
-    "afghanistan": "AFG", "argentina": "ARG", "australia": "AUS", "austria": "AUT",
-    "bangladesh": "BGD", "belgium": "BEL", "brazil": "BRA", "bulgaria": "BGR",
-    "canada": "CAN", "chile": "CHL", "china": "CHN", "colombia": "COL",
-    "croatia": "HRV", "cyprus": "CYP", "czechia": "CZE", "czech republic": "CZE",
-    "denmark": "DNK", "egypt": "EGY", "estonia": "EST", "ethiopia": "ETH",
-    "finland": "FIN", "france": "FRA", "germany": "DEU", "greece": "GRC",
-    "hungary": "HUN", "iceland": "ISL", "india": "IND", "indonesia": "IDN",
-    "iran": "IRN", "iraq": "IRQ", "ireland": "IRL", "israel": "ISR",
-    "italy": "ITA", "japan": "JPN", "kenya": "KEN", "latvia": "LVA",
-    "lithuania": "LTU", "luxembourg": "LUX", "malaysia": "MYS", "malta": "MLT",
-    "mexico": "MEX", "morocco": "MAR", "netherlands": "NLD", "new zealand": "NZL",
-    "nigeria": "NGA", "norway": "NOR", "pakistan": "PAK", "peru": "PER",
-    "philippines": "PHL", "poland": "POL", "portugal": "PRT", "romania": "ROU",
-    "russia": "RUS", "russian federation": "RUS", "saudi arabia": "SAU",
-    "singapore": "SGP", "slovakia": "SVK", "slovenia": "SVN",
-    "south africa": "ZAF", "south korea": "KOR", "spain": "ESP", "sweden": "SWE",
-    "switzerland": "CHE", "thailand": "THA", "turkey": "TUR", "ukraine": "UKR",
-    "united arab emirates": "ARE", "united kingdom": "GBR",
-    "united states": "USA", "united states of america": "USA", "usa": "USA",
-    "us": "USA", "uk": "GBR", "vietnam": "VNM",
+    # ISO 3166-1 common names, A-Z
+    "afghanistan": "AFG", "albania": "ALB", "algeria": "DZA",
+    "american samoa": "ASM", "andorra": "AND", "angola": "AGO",
+    "anguilla": "AIA", "antarctica": "ATA", "antigua and barbuda": "ATG",
+    "argentina": "ARG", "armenia": "ARM", "aruba": "ABW",
+    "australia": "AUS", "austria": "AUT", "azerbaijan": "AZE",
+    "bahamas": "BHS", "bahrain": "BHR", "bangladesh": "BGD",
+    "barbados": "BRB", "belarus": "BLR", "belgium": "BEL",
+    "belize": "BLZ", "benin": "BEN", "bermuda": "BMU", "bhutan": "BTN",
+    "bolivia": "BOL", "bonaire": "BES", "bosnia and herzegovina": "BIH",
+    "botswana": "BWA", "bouvet island": "BVT", "brazil": "BRA",
+    "british indian ocean territory": "IOT", "brunei": "BRN",
+    "bulgaria": "BGR", "burkina faso": "BFA", "burundi": "BDI",
+    "cabo verde": "CPV", "cambodia": "KHM", "cameroon": "CMR",
+    "canada": "CAN", "cayman islands": "CYM",
+    "central african republic": "CAF", "chad": "TCD", "chile": "CHL",
+    "china": "CHN", "christmas island": "CXR", "cocos islands": "CCK",
+    "colombia": "COL", "comoros": "COM", "congo": "COG",
+    "cook islands": "COK", "costa rica": "CRI", "croatia": "HRV",
+    "cuba": "CUB", "curacao": "CUW", "cyprus": "CYP", "czechia": "CZE",
+    "denmark": "DNK", "djibouti": "DJI", "dominica": "DMA",
+    "dominican republic": "DOM", "ecuador": "ECU", "egypt": "EGY",
+    "el salvador": "SLV", "equatorial guinea": "GNQ", "eritrea": "ERI",
+    "estonia": "EST", "eswatini": "SWZ", "ethiopia": "ETH",
+    "falkland islands": "FLK", "faroe islands": "FRO", "fiji": "FJI",
+    "finland": "FIN", "france": "FRA", "french guiana": "GUF",
+    "french polynesia": "PYF", "french southern territories": "ATF",
+    "gabon": "GAB", "gambia": "GMB", "georgia": "GEO", "germany": "DEU",
+    "ghana": "GHA", "gibraltar": "GIB", "greece": "GRC",
+    "greenland": "GRL", "grenada": "GRD", "guadeloupe": "GLP",
+    "guam": "GUM", "guatemala": "GTM", "guernsey": "GGY", "guinea": "GIN",
+    "guinea-bissau": "GNB", "guyana": "GUY", "haiti": "HTI",
+    "heard island and mcdonald islands": "HMD", "honduras": "HND",
+    "hong kong": "HKG", "hungary": "HUN", "iceland": "ISL",
+    "india": "IND", "indonesia": "IDN", "iran": "IRN", "iraq": "IRQ",
+    "ireland": "IRL", "isle of man": "IMN", "israel": "ISR",
+    "italy": "ITA", "jamaica": "JAM", "japan": "JPN", "jersey": "JEY",
+    "jordan": "JOR", "kazakhstan": "KAZ", "kenya": "KEN",
+    "kiribati": "KIR", "kuwait": "KWT", "kyrgyzstan": "KGZ",
+    "laos": "LAO", "latvia": "LVA", "lebanon": "LBN", "lesotho": "LSO",
+    "liberia": "LBR", "libya": "LBY", "liechtenstein": "LIE",
+    "lithuania": "LTU", "luxembourg": "LUX", "macao": "MAC",
+    "madagascar": "MDG", "malawi": "MWI", "malaysia": "MYS",
+    "maldives": "MDV", "mali": "MLI", "malta": "MLT",
+    "marshall islands": "MHL", "martinique": "MTQ", "mauritania": "MRT",
+    "mauritius": "MUS", "mayotte": "MYT", "mexico": "MEX",
+    "micronesia": "FSM", "moldova": "MDA", "monaco": "MCO",
+    "mongolia": "MNG", "montenegro": "MNE", "montserrat": "MSR",
+    "morocco": "MAR", "mozambique": "MOZ", "myanmar": "MMR",
+    "namibia": "NAM", "nauru": "NRU", "nepal": "NPL",
+    "netherlands": "NLD", "new caledonia": "NCL", "new zealand": "NZL",
+    "nicaragua": "NIC", "niger": "NER", "nigeria": "NGA", "niue": "NIU",
+    "norfolk island": "NFK", "north korea": "PRK",
+    "north macedonia": "MKD", "northern mariana islands": "MNP",
+    "norway": "NOR", "oman": "OMN", "pakistan": "PAK", "palau": "PLW",
+    "palestine": "PSE", "panama": "PAN", "papua new guinea": "PNG",
+    "paraguay": "PRY", "peru": "PER", "philippines": "PHL",
+    "pitcairn": "PCN", "poland": "POL", "portugal": "PRT",
+    "puerto rico": "PRI", "qatar": "QAT", "reunion": "REU",
+    "romania": "ROU", "russia": "RUS", "rwanda": "RWA",
+    "saint barthelemy": "BLM", "saint helena": "SHN",
+    "saint kitts and nevis": "KNA", "saint lucia": "LCA",
+    "saint martin": "MAF", "saint pierre and miquelon": "SPM",
+    "saint vincent and the grenadines": "VCT", "samoa": "WSM",
+    "san marino": "SMR", "sao tome and principe": "STP",
+    "saudi arabia": "SAU", "senegal": "SEN", "serbia": "SRB",
+    "seychelles": "SYC", "sierra leone": "SLE", "singapore": "SGP",
+    "sint maarten": "SXM", "slovakia": "SVK", "slovenia": "SVN",
+    "solomon islands": "SLB", "somalia": "SOM", "south africa": "ZAF",
+    "south georgia and the south sandwich islands": "SGS",
+    "south korea": "KOR", "south sudan": "SSD", "spain": "ESP",
+    "sri lanka": "LKA", "sudan": "SDN", "suriname": "SUR",
+    "svalbard and jan mayen": "SJM", "sweden": "SWE",
+    "switzerland": "CHE", "syria": "SYR", "taiwan": "TWN",
+    "tajikistan": "TJK", "tanzania": "TZA", "thailand": "THA",
+    "timor-leste": "TLS", "togo": "TGO", "tokelau": "TKL",
+    "tonga": "TON", "trinidad and tobago": "TTO", "tunisia": "TUN",
+    "turkey": "TUR", "turkmenistan": "TKM",
+    "turks and caicos islands": "TCA", "tuvalu": "TUV", "uganda": "UGA",
+    "ukraine": "UKR", "united arab emirates": "ARE",
+    "united kingdom": "GBR", "united states": "USA",
+    "united states minor outlying islands": "UMI", "uruguay": "URY",
+    "uzbekistan": "UZB", "vanuatu": "VUT", "venezuela": "VEN",
+    "vietnam": "VNM", "virgin islands, british": "VGB",
+    "virgin islands, u.s.": "VIR", "wallis and futuna": "WLF",
+    "western sahara": "ESH", "yemen": "YEM", "zambia": "ZMB",
+    "zimbabwe": "ZWE", "aland islands": "ALA",
+    # aliases: official long forms, historic names, abbreviations
+    "czech republic": "CZE", "russian federation": "RUS",
+    "united states of america": "USA", "usa": "USA", "us": "USA",
+    "u.s.": "USA", "u.s.a.": "USA", "uk": "GBR", "u.k.": "GBR",
+    "great britain": "GBR", "britain": "GBR", "uae": "ARE",
+    "republic of korea": "KOR", "korea": "KOR", "korea, republic of": "KOR",
+    "democratic people's republic of korea": "PRK",
+    "ivory coast": "CIV", "cote d'ivoire": "CIV",
+    "cape verde": "CPV", "burma": "MMR", "east timor": "TLS",
+    "swaziland": "SWZ", "macedonia": "MKD", "holland": "NLD",
+    "vatican": "VAT", "vatican city": "VAT", "holy see": "VAT",
+    "democratic republic of the congo": "COD", "dr congo": "COD",
+    "drc": "COD", "congo-brazzaville": "COG", "congo-kinshasa": "COD",
+    "turkiye": "TUR", "viet nam": "VNM", "brunei darussalam": "BRN",
+    "lao people's democratic republic": "LAO", "syrian arab republic": "SYR",
+    "iran, islamic republic of": "IRN", "bolivia, plurinational state of": "BOL",
+    "venezuela, bolivarian republic of": "VEN",
+    "tanzania, united republic of": "TZA", "moldova, republic of": "MDA",
+    "micronesia, federated states of": "FSM", "curaçao": "CUW",
+    "réunion": "REU", "côte d'ivoire": "CIV", "türkiye": "TUR",
+    "saint barthélemy": "BLM", "åland islands": "ALA",
 }
 UK_CONSTITUENTS = {
     "england": ("GBR", "GB-ENG"),

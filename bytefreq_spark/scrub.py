@@ -96,9 +96,21 @@ def _mojibake(ch: str) -> str | None:
         return None
 
 
-_REPAIR_CHARS = "\u2019\u201c\u201d\u2013\u2014\u2026\u00e9\u00e8\u00e1\u00f3\u00fa\u00f1\u00e4\u00f6\u00fc\u00df\u00a0\u00a3\u20ac\u00c9\u00e7\u00e2\u00ea\u00ee\u00f4\u00fb"
+def _repair_chars() -> str:
+    """The full CP-1252-representable repair range, swept programmatically
+    (reference parity: win1252_to_utf8.sed covers the whole byte table, not
+    a hand-picked list): every Latin-1-supplement printable (U+00A0-U+00FF)
+    plus every CP-1252 0x80-0x9F special (euro, curly quotes, dashes,
+    ellipsis, OE/oe, Y-umlaut, ...).  Chars whose UTF-8 bytes hit one of the
+    five undefined CP-1252 bytes (0x81 8D 8F 90 9D) can never appear as
+    cp1252-mojibake and drop out via the _mojibake() guard."""
+    high = bytes(range(0x80, 0xA0)).decode("cp1252", errors="ignore")
+    latin1 = "".join(chr(cp) for cp in range(0xA0, 0x100))
+    return high + latin1
+
+
 MOJIBAKE_MAP = [
-    (m, ch) for ch in _REPAIR_CHARS
+    (m, ch) for ch in _repair_chars()
     if (m := _mojibake(ch)) is not None
 ]
 MOJIBAKE_MAP.sort(key=lambda p: -len(p[0]))

@@ -307,14 +307,26 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding", id_col: str = "vec_id",
     n_planes: int = 16, bands: int = 4, seed: int = 42,
     max_bucket: int | None = 256, impl: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """Corpus-wide embedding-cosine near-dup pairs — the dedup-shaped ANN:
     banded hyperplane-LSH self-join generates candidates (any shared band ⇒
     candidate; no all-pairs anywhere), exact cosine rescoring filters them.
     Hot buckets (e.g. zero-ish or templated embeddings) are capped like the
     minhash LSH path.  The exact filter means zero false positives by
-    construction; recall rides on bands/planes like any LSH."""
-    dim = len(df.select(vec_col).first()[0])
+    construction; recall rides on bands/planes like any LSH.
+
+    Pass ``dim`` (the embedding width) to skip the fallback first() probe —
+    at scale an extra Spark job just to learn the width is waste, and the
+    probe cannot work on an empty input anyway."""
+    if dim is None:
+        head = df.select(vec_col).head(1)
+        if not head or head[0][0] is None:
+            raise ValueError(
+                f"cannot infer embedding dim from an empty {vec_col!r} "
+                "input — pass dim= explicitly"
+            )
+        dim = len(head[0][0])
     planes = make_planes(dim, n_planes, seed)
     banded = embedding_banded_signatures(df, planes, vec_col, id_col, bands, impl)
     if max_bucket is not None:

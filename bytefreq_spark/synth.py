@@ -101,8 +101,16 @@ def _gen_text(rng: np.random.RandomState, kind: str, prev: str) -> str:
 
 
 def gen_conversation(conv_serial: int, seed: int = SEED, skew_every: int = 997,
-                     skew_len: int = 1500) -> pd.DataFrame:
-    """All turns of one conversation — pure function of (seed, serial)."""
+                     skew_len: int = 1500,
+                     doc_words: tuple[int, int] | None = None) -> pd.DataFrame:
+    """All turns of one conversation — pure function of (seed, serial).
+
+    ``doc_words=(lo, hi)`` switches to a LONG-DOCUMENT corpus shape: each
+    non-empty/non-dup turn is padded with a lo..hi-word English tail
+    (10-50 KB texts at (1700, 8500)) while keeping the original kind marker
+    (PII template, language prefix, boilerplate, ...) at the front so scrub,
+    langid and mask costs are exercised at long-text lengths.  The default
+    path draws the exact same rng sequence as before the flag existed."""
     rng = np.random.RandomState((seed * 1_000_003 + conv_serial) % (2 ** 31))
     # Zipf-ish length; every `skew_every`-th conversation is a whale (skew!)
     if skew_every and conv_serial % skew_every == skew_every - 1:
@@ -122,6 +130,9 @@ def gen_conversation(conv_serial: int, seed: int = SEED, skew_every: int = 997,
             role = ["user", "assistant", "tool"][t % 3]
         kind = _KIND_NAMES[rng.choice(len(_KIND_NAMES), p=_KIND_P)]
         text = _gen_text(rng, kind, prev)
+        if doc_words is not None and kind not in ("empty", "dup"):
+            tail = _sentence(rng, "en", int(rng.randint(*doc_words)))
+            text = (text + " " + tail).strip()
         prev = text
         tool = _TOOL_NAMES[rng.randint(0, len(_TOOL_NAMES))] if role == "tool" else None
         ts = base_ts + np.timedelta64(t * int(rng.randint(1, 90)), "s")

@@ -19,12 +19,20 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    """Type-PRESERVING canonicalization: an int and a float of equal value
+    must NOT compare equal (Python ``302 == 302.0``), because the driver's
+    gate hashes typed values — DuckDB HUGEINT→float64 vs Spark bigint is a
+    real mismatch this local gate must catch (it shipped one in r3)."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return round(v, 6)
+        return ("f", round(v, 6))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     try:
@@ -40,7 +48,7 @@ def norm_cell(v):
     import decimal
 
     if isinstance(v, decimal.Decimal):
-        return round(float(v), 6)
+        return ("f", round(float(v), 6))
     if isinstance(v, (datetime.date, datetime.datetime)):
         return str(v)
     return v
@@ -69,9 +77,13 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    import time
+
+    t_all = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -79,7 +91,8 @@ def main():
             print(f"FAIL {name}: spark error {str(e)[:300]}")
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(sdf)} rows)")
+            print(f"ok   {name}: rows-only ({len(sdf)} rows)"
+                  f"  [{time.time() - t0:.1f}s]")
             if len(sdf) == 0 and name != "dedup_exact_summary":
                 print(f"      WARNING: 0 rows")
             continue
@@ -104,9 +117,9 @@ def main():
             failures.append((name, f"values differ, first: {bad}"))
             print(f"FAIL {name}: values differ; first diffs: {bad}")
             continue
-        print(f"ok   {name}: {len(sr)} rows match")
+        print(f"ok   {name}: {len(sr)} rows match  [{time.time() - t0:.1f}s]")
 
-    print(f"\n{len(failures)} failures")
+    print(f"\n{len(failures)} failures  total {time.time() - t_all:.1f}s")
     spark.stop()
     sys.exit(1 if failures else 0)
 

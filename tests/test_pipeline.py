@@ -241,6 +241,34 @@ def test_whale_conversation_stress(spark):
     out.unpersist()
 
 
+def test_longdoc_corpus_parity(spark):
+    """r4: the long-document corpus shape (10-50 KB texts — the lengths the
+    BPE/LSH paths are tuned for).  Asserts (a) the generator really produces
+    long texts, (b) quality_filter labels + scrubbed text agree EXACTLY with
+    the single-node reference at that shape, (c) the default generator path
+    is bit-unchanged by the new flag (same rng draw sequence)."""
+    from bytefreq_spark.synth import gen_conversation
+
+    # (c) default path bit-identical: flag-off == the pre-flag generator
+    a = gen_conversation(7)
+    b = gen_conversation(7, doc_words=None)
+    pd.testing.assert_frame_equal(a, b)
+
+    pdf = gen_transcripts_pandas(40, skew_every=0, doc_words=(1700, 8500))
+    lens = pdf["text"].str.len()
+    assert lens.max() > 10_000            # (a) real long docs
+    assert lens[lens > 0].median() > 8_000
+
+    ref = run_reference(pdf)
+    out = (
+        quality_filter(spark.createDataFrame(pdf), salt_partitions=8)
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    refs = ref.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (out["keep"] == refs["keep"]).all()            # (b) F1 == 1.0
+    assert (out["scrubbed_text"] == refs["scrubbed_text"]).all()
+
+
 def test_quality_filter_stream_matches_batch(spark, tmp_path):
     """foreachBatch streaming quality filter (availableNow over a staged
     directory): a single micro-batch must equal the batch pipeline exactly

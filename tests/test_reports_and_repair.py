@@ -67,6 +67,27 @@ def test_mojibake_roundtrip():
         assert good.encode("utf-8").decode("cp1252") == bad
 
 
+def test_mojibake_full_cp1252_sweep():
+    """r4: the map covers the FULL CP-1252-representable repair range
+    (reference parity with win1252_to_utf8.sed's whole-byte-table reach),
+    not a hand-picked subset — every Latin-1 printable and every 0x80-0x9F
+    special whose UTF-8 bytes survive a cp1252 decode repairs back to
+    itself, singly and inside a sentence."""
+    targets = {g for _, g in MOJIBAKE_MAP}
+    for cp in range(0xA0, 0x100):
+        ch = chr(cp)
+        try:
+            ch.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue  # hits one of the 5 undefined cp1252 bytes
+        assert ch in targets, f"U+{cp:04X} missing from MOJIBAKE_MAP"
+    # long-tail chars the old 26-char list missed (all cp1252-representable)
+    for ch in "Œœžµ©®°±¼½¾¡¿ÀÈÌÒÙåøÆæþ":
+        bad = ch.encode("utf-8").decode("cp1252")
+        assert repair_encoding_series(pd.Series([f"x {bad} y"]))[0] == f"x {ch} y"
+    assert len(MOJIBAKE_MAP) > 100
+
+
 def test_streaming_mask_frequency(spark, tmp_path):
     from bytefreq_spark.streaming.profile_stream import (
         read_transcript_stream,

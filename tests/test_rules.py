@@ -87,6 +87,29 @@ def test_country_iso3(spark):
     assert rows[2]["region"] == "GB-ENG"
 
 
+def test_country_iso3_long_tail(spark):
+    """r4: the dim covers the FULL ISO 3166 range (reference resolves ~250
+    names via geonamescache, assertions.rs:20-36) — long-tail states and
+    historic/alias names the old 74-entry dim missed."""
+    from bytefreq_spark.rules import COUNTRY_ISO3
+
+    assert len(set(COUNTRY_ISO3.values())) >= 240
+    df = spark.createDataFrame(
+        [("Ivory Coast",), ("Cabo Verde",), ("Eswatini",), ("San Marino",),
+         ("Timor-Leste",), ("Burma",), ("North Macedonia",), ("Vatican City",),
+         ("DR Congo",), ("Kyrgyzstan",), ("Saint Kitts and Nevis",),
+         ("Côte d'Ivoire",)],
+        ["Country"],
+    )
+    rows = enhanced(df).select(
+        F.col("Country.Rules.std_country_iso3").alias("iso3")
+    ).collect()
+    assert [r["iso3"] for r in rows] == [
+        "CIV", "CPV", "SWZ", "SMR", "TLS", "MMR", "MKD", "VAT", "COD",
+        "KGZ", "KNA", "CIV",
+    ]
+
+
 def test_unix_timestamp(spark):
     df = spark.createDataFrame(
         [("1700000000",), ("1700000000000",), ("900000000",), ("170000",)],

@@ -186,6 +186,51 @@ def mask_str(value: str, grain: str = "LU") -> str:
     return lo if lo else "_"
 
 
+# class ids for hu_class_codes: the HU output alphabet partitioned as
+# 0=a 1=A 2=9 3=space 4=_ 5=kept-punctuation(",.-\")
+_HU_CLASS_INDEX = {"a": 0, "A": 1, "9": 2, " ": 3, "_": 4,
+                   '"': 5, "-": 5, ".": 5, ",": 5}
+_HU_CP_LUT_SIZE = 0x500  # ASCII + Latin-1/Extended + Greek + Cyrillic
+_HU_CP_LUT: "np.ndarray | None" = None
+
+
+def _hu_cp_lut():
+    global _HU_CP_LUT
+    if _HU_CP_LUT is None:
+        import numpy as np
+
+        _HU_CP_LUT = np.fromiter(
+            (_HU_CLASS_INDEX[_HU_TABLE[cp]] for cp in range(_HU_CP_LUT_SIZE)),
+            dtype=np.int8, count=_HU_CP_LUT_SIZE,
+        )
+    return _HU_CP_LUT
+
+
+def hu_class_codes(codes):
+    """HU class id per codepoint, straight from the raw flat-codes buffer —
+    byte-equivalent to masking with ``_HU_TABLE`` and classifying the output
+    char (class(cp) := _HU_CLASS_INDEX[_HU_TABLE[cp]] by construction), but
+    without materializing the mask string.  Common scripts hit a dense LUT;
+    the long tail (CJK, Indic, ...) resolves per-UNIQUE codepoint through the
+    same lazy table, so cost scales with distinct chars, not text length."""
+    import numpy as np
+
+    lut = _hu_cp_lut()
+    cls = np.empty(len(codes), dtype=np.int8)
+    small = codes < _HU_CP_LUT_SIZE
+    cls[small] = lut[codes[small]]
+    big_idx = np.nonzero(~small)[0]
+    if len(big_idx):
+        big = codes[big_idx]
+        u = np.unique(big)
+        m = np.fromiter(
+            (_HU_CLASS_INDEX[_HU_TABLE[int(cp)]] for cp in u),
+            dtype=np.int8, count=len(u),
+        )
+        cls[big_idx] = m[np.searchsorted(u, big)]
+    return cls
+
+
 def flat_codes(s: pd.Series):
     """(codes, starts, lens) flat-codepoint view of a string Series.
 

@@ -99,6 +99,32 @@ def test_text_features_fast_equals_naive():
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_text_features_empty_row_placement():
+    """r4: the reduceat row-reduce has two empty-row quirks (interior empty
+    → reduceat returns a stray element; TRAILING empty → start == buffer
+    length, which reduceat rejects outright).  Pin both, plus all-empty and
+    NaN batches."""
+    from bytefreq_spark.quality import text_features, text_features_naive
+
+    cases = [
+        ["", "abc 12", ""],             # leading + trailing empty
+        ["abc", "", "x y"],             # interior empty
+        ["abc 12", "", "", ""],         # run of trailing empties
+        ["", "", ""],                   # all empty
+        [None, "a b", None],            # NaN-safety
+        ["只有中文字符", "", "ΓΕΙΑ σου"],  # non-LUT scripts + empty
+    ]
+    for rows in cases:
+        s = pd.Series(rows)
+        pd.testing.assert_frame_equal(
+            text_features(s), text_features_naive(s)
+        ), rows
+    # degenerate: fully empty batch
+    empty = pd.Series([], dtype=object)
+    out = text_features(empty)
+    assert len(out) == 0
+
+
 def test_collapse_runs_equals_regex():
     import re
 

@@ -719,6 +719,31 @@ def q_ann_lsh(spark, sf_dir):
 
 
 
+def q_excel_scan(spark, sf_dir):
+    """S7 Excel scan, now a REAL driver surface (r4): the nation table is
+    written to a staged xlsx (stdlib zip+XML writer, mixed cell types —
+    numbers as numbers so the float→int-string rule fires, names as shared
+    strings) and read back through the stdlib parser + read_excel.  Oracle:
+    DuckDB recomputes the all-string frame from the same nation table."""
+    import os as _os
+
+    from bytefreq_spark.sources.tabular import make_xlsx, read_excel
+
+    nat = _read(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    rows = [["Nation Key", "Name", "Region Key"]] + [
+        [int(r["n_nationkey"]), r["n_name"], float(r["n_regionkey"])]
+        for r in nat
+    ]
+    _os.makedirs(EXCEL_STAGE_DIR, exist_ok=True)
+    path = _os.path.join(EXCEL_STAGE_DIR, "nations.xlsx")
+    with open(path, "wb") as f:
+        f.write(make_xlsx({"Nations": rows}))
+    return read_excel(spark, path)
+
+
+EXCEL_STAGE_DIR = f"/tmp/bytefreq_r4_excel_{os.getpid()}"
+
+
 def q_doubled_columns(spark, sf_dir):
     from bytefreq_spark.profile import doubled_columns
 
@@ -1072,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_repair": q_encoding_repair,
         "ragged_columns": q_ragged_columns,
         "csv_quoted_fields": q_csv_quoted_fields,
+        "excel_scan": q_excel_scan,
         "paginated_json": q_paginated_json,
         "per_file_counts": q_per_file_counts,
         "machine_report": q_machine_report,
@@ -1377,6 +1403,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "encoding_repair": """
             SELECT doc_id, 'caf\u00e9 ' AS prefix FROM documents
+        """,
+        "excel_scan": """
+            SELECT CAST(n_nationkey AS VARCHAR) AS Nation_Key,
+                   n_name AS Name,
+                   CAST(CAST(n_regionkey AS BIGINT) AS VARCHAR) AS Region_Key
+            FROM nation
         """,
         "ragged_columns": """
             WITH lines AS (

@@ -98,7 +98,8 @@ def read_csv_rfc4180(
 
 
 # ---------------------------------------------------------------------------
-# S7: Excel source (reference excel.rs:17-114) — gated on openpyxl
+# S7: Excel source (reference excel.rs:17-114) — pure-stdlib zip+XML parse,
+# no codec library needed (r4: the openpyxl gate is gone)
 # ---------------------------------------------------------------------------
 
 
@@ -120,31 +121,196 @@ def excel_cell_to_string(v) -> str:
     return str(v)
 
 
+def _xlsx_col_index(ref: str) -> int:
+    """0-based column index from an A1-style cell reference ("BC12" → 54)."""
+    n = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return n - 1
+
+
+def _xlsx_cell_text(el) -> str:
+    """Concatenated <t> runs under an <is>/<si> element (plain + rich text)."""
+    return "".join(t.text or "" for t in el.iter() if t.tag.endswith("}t"))
+
+
+def excel_sheet_names(data: bytes) -> list[str]:
+    """Workbook sheet names in declaration order (excel.rs:57-62)."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+    return [
+        s.attrib.get("name", "")
+        for s in wb.iter() if s.tag.endswith("}sheet")
+    ]
+
+
+def parse_xlsx(data: bytes, sheet: int | str = 0) -> list[list[str]]:
+    """Pure-stdlib xlsx parse (zipfile + ElementTree) → all-string rows,
+    the exact shape of the reference's range_to_rows (excel.rs:66-82):
+    every cell stringified via the Int/Float/Bool/Empty rules, rows padded
+    to the used-range width, missing cells inside a row filled with "".
+
+    Covers the cell types the reference's calamine path handles: shared
+    strings (incl. rich-text runs), inline strings, formula strings,
+    numbers (int-valued floats bare — excel.rs:88-95), booleans, errors
+    (``#ERROR:...``).  Date-STYLED numbers surface as their raw serial
+    number, matching calamine's DateTime.to_string() fallback
+    (excel.rs:97-101: "just convert to string representation").
+
+    No Excel library needed: xlsx is a zip of XML, both in the stdlib —
+    the previous openpyxl gate is gone."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheets = [s for s in wb.iter() if s.tag.endswith("}sheet")]
+        names = [s.attrib.get("name", "") for s in sheets]
+        if isinstance(sheet, str):
+            if sheet not in names:
+                raise ValueError(f"no sheet named {sheet!r}; have {names}")
+            idx = names.index(sheet)
+        else:
+            if sheet >= len(sheets):
+                raise ValueError(
+                    f"Sheet index {sheet} out of range. Workbook has "
+                    f"{len(sheets)} sheets."
+                )
+            idx = sheet
+        # resolve the sheet's XML part through the workbook relationships
+        # (sheet order in workbook.xml need not match worksheets/sheetN.xml
+        # numbering)
+        rid = None
+        for k, v in sheets[idx].attrib.items():
+            if k.endswith("}id"):
+                rid = v
+        target = f"worksheets/sheet{idx + 1}.xml"
+        if rid is not None:
+            rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+            for rel in rels.iter():
+                if rel.attrib.get("Id") == rid:
+                    target = rel.attrib["Target"]
+        target = target.lstrip("/")
+        if not target.startswith("xl/"):
+            target = "xl/" + target
+
+        shared: list[str] = []
+        try:
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = [
+                _xlsx_cell_text(si)
+                for si in sst.iter() if si.tag.endswith("}si")
+            ]
+        except KeyError:
+            pass
+
+        sheet_xml = ET.fromstring(z.read(target))
+
+    rows: list[list[str]] = []
+    min_col = None
+    for row in sheet_xml.iter():
+        if not row.tag.endswith("}row"):
+            continue
+        cells: list[str] = []
+        for c in row:
+            if not c.tag.endswith("}c"):
+                continue
+            col = _xlsx_col_index(c.attrib.get("r", ""))
+            if col < 0:
+                col = len(cells)
+            while len(cells) <= col:
+                cells.append("")
+            t = c.attrib.get("t", "n")
+            v = None
+            is_el = None
+            for ch in c:
+                if ch.tag.endswith("}v"):
+                    v = ch.text or ""
+                elif ch.tag.endswith("}is"):
+                    is_el = ch
+            if t == "inlineStr":
+                cells[col] = _xlsx_cell_text(is_el) if is_el is not None else ""
+            elif v is None:
+                cells[col] = ""
+            elif t == "s":
+                cells[col] = shared[int(v)]
+            elif t == "str":
+                cells[col] = v
+            elif t == "b":
+                cells[col] = "true" if v not in ("0", "", "false") else "false"
+            elif t == "e":
+                cells[col] = f"#ERROR:{v}"
+            else:  # number
+                cells[col] = excel_cell_to_string(float(v))
+            if cells[col] != "":
+                mc = col
+                min_col = mc if min_col is None else min(min_col, mc)
+        rows.append(cells)
+    if not any(any(c != "" for c in r) for r in rows):
+        raise ValueError("Sheet is empty")
+    # the reference's Range is the used bounding box: strip all-empty lead
+    # columns, pad every row to the widest
+    lead = min_col or 0
+    rows = [r[lead:] for r in rows]
+    width = max(len(r) for r in rows)
+    return [r + [""] * (width - len(r)) for r in rows]
+
+
 def read_excel(
     spark: SparkSession, path: str, sheet: int | str = 0, header_row: int = 1
 ) -> DataFrame:
-    """Excel scan via pandas+openpyxl → all-string DataFrame (S7).
+    """Excel scan → all-string DataFrame (S7; reference excel.rs:17-114):
+    sheet by 0-based index or by name, every cell stringified, header row N
+    with the standard name normalization.  Driver-side parse — Excel files
+    are small config/reference tables, not the 100 TB path (for a DIRECTORY
+    of workbooks use ``read_excel_files``, which parallelizes per file)."""
+    with open(path, "rb") as f:
+        rows = parse_xlsx(f.read(), sheet)
+    header = [normalize_header(c) for c in rows[header_row - 1]]
+    body = rows[header_row:]
+    return spark.createDataFrame(body or [], schema=" ".join(
+        f"`{h}` string," for h in header
+    ).rstrip(","))
 
-    The container ships no Excel codec; this is the gated fallback the
-    reference's excel.rs implies (sheet by index or name, every cell
-    stringified, header row N with the standard name normalization).
-    Driver-side read — Excel files are small config/reference tables, not
-    the 100 TB path."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "read_excel needs openpyxl, which is not installed in this "
-            "container; semantics are covered by excel_cell_to_string tests"
-        ) from e
+
+def read_excel_files(
+    spark: SparkSession, path_glob: str, sheet: int | str = 0,
+    header_row: int = 1,
+) -> DataFrame:
+    """Distributed Excel scan: ``binaryFile`` source → one parse task per
+    workbook (mapInPandas over the file bytes), headers normalized per file
+    and required to agree.  The Spark-first shape for MANY small workbooks;
+    each file is bounded (xlsx is a zip loaded in memory), parallelism comes
+    from the file count."""
     import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet, header=None, dtype=object)
-    pdf = pdf.where(pd.notna(pdf), None).map(excel_cell_to_string)
-    header = [normalize_header(str(c)) for c in pdf.iloc[header_row - 1]]
-    body = pdf.iloc[header_row:]
-    body.columns = header
-    return spark.createDataFrame(body)
+    bins = spark.read.format("binaryFile").load(path_glob)
+    first = bins.select("content").first()
+    if first is None:
+        raise FileNotFoundError(f"no files match {path_glob}")
+    head_rows = parse_xlsx(bytes(first["content"]), sheet)
+    header = [normalize_header(c) for c in head_rows[header_row - 1]]
+    schema = ", ".join(f"`{h}` string" for h in header)
+
+    def gen(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                rows = parse_xlsx(bytes(blob), sheet)
+                hdr = [normalize_header(c) for c in rows[header_row - 1]]
+                if hdr != header:
+                    raise ValueError(
+                        f"workbook header mismatch: {hdr} != {header}"
+                    )
+                yield pd.DataFrame(rows[header_row:], columns=header)
+
+    return bins.select("content").mapInPandas(gen, schema=schema)
 
 
 def field_count_report(df_lines: DataFrame, column: str = "value",
@@ -155,3 +321,103 @@ def field_count_report(df_lines: DataFrame, column: str = "value",
         df_lines.select(F.size(F.split(F.col(column), sep)).alias("n_fields"))
         .groupBy("n_fields").agg(F.count("*").alias("rows")).orderBy("n_fields")
     )
+
+
+def make_xlsx(sheets: dict[str, list[list]], shared: bool = True) -> bytes:
+    """Minimal deterministic xlsx WRITER (zip + XML, stdlib only) — the
+    round-trip staging side of ``parse_xlsx``, used by tests and the
+    driver-contract oracle (the reference only reads Excel, excel.rs; this
+    writer exists to exercise that read path without any codec library).
+    Cell typing: str → shared string (or inline when shared=False), bool →
+    t="b", int/float → number, None → skipped cell (a GAP, not an empty
+    string — exercises the A1-ref padding)."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    strings: list[str] = []
+
+    def sref(s: str) -> int:
+        if s not in strings:
+            strings.append(s)
+        return strings.index(s)
+
+    def colname(i: int) -> str:
+        name = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            name = chr(ord("A") + r) + name
+        return name
+
+    sheet_xmls = []
+    for rows in sheets.values():
+        body = []
+        for ri, row in enumerate(rows, start=1):
+            cells = []
+            for ci, v in enumerate(row):
+                if v is None:
+                    continue
+                ref = f"{colname(ci)}{ri}"
+                if isinstance(v, bool):
+                    cells.append(f'<c r="{ref}" t="b"><v>{int(v)}</v></c>')
+                elif isinstance(v, (int, float)):
+                    cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+                elif shared:
+                    cells.append(
+                        f'<c r="{ref}" t="s"><v>{sref(str(v))}</v></c>')
+                else:
+                    cells.append(
+                        f'<c r="{ref}" t="inlineStr"><is><t>'
+                        f"{escape(str(v))}</t></is></c>")
+            body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+        sheet_xmls.append(
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+            'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+            f'{"".join(body)}</sheetData></worksheet>')
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    sheet_tags = "".join(
+        f'<sheet name="{escape(nm)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, nm in enumerate(sheets)
+    )
+    workbook = (
+        f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="{rns}">'
+        f"<sheets>{sheet_tags}</sheets></workbook>")
+    rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="{rns}/worksheet" '
+        f'Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(sheets))
+    )
+    wb_rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+               f'openxmlformats.org/package/2006/relationships">{rels}'
+               "</Relationships>")
+    sst = (
+        '<?xml version="1.0"?>'
+        f'<sst xmlns="{ns}" count="{len(strings)}" '
+        f'uniqueCount="{len(strings)}">'
+        + "".join(f"<si><t>{escape(s)}</t></si>" for s in strings)
+        + "</sst>")
+    ctypes = (
+        '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.'
+        'org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/></Types>')
+    root_rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+                 'openxmlformats.org/package/2006/relationships">'
+                 f'<Relationship Id="rId1" Type="{rns}/officeDocument" '
+                 'Target="xl/workbook.xml"/></Relationships>')
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ctypes)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        if strings:
+            z.writestr("xl/sharedStrings.xml", sst)
+        for i, xml in enumerate(sheet_xmls):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
+    return buf.getvalue()

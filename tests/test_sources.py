@@ -183,18 +183,89 @@ def test_excel_cell_to_string_semantics():
     assert c("text") == "text"
 
 
-def test_excel_reader_gated(spark):
+from bytefreq_spark.sources.tabular import make_xlsx as _make_xlsx
+
+
+_XLSX_ROWS = [
+    ["Cust Name", "Acct Bal", "Active", "Note"],
+    ["Alice", 1200.5, True, "said hi"],
+    ["Bob", 42.0, False, None],          # gap cell → ""
+    ["Chloé", -7, True, "naïve café"],
+]
+
+
+def test_parse_xlsx_stdlib():
+    """S7 real path: stdlib zip+XML parse matches excel.rs range_to_rows
+    semantics — all-string cells, int-valued floats bare, true/false bools,
+    gaps padded, shared AND inline string encodings."""
+    from bytefreq_spark.sources.tabular import excel_sheet_names, parse_xlsx
+
+    for shared in (True, False):
+        data = _make_xlsx({"People": _XLSX_ROWS}, shared=shared)
+        rows = parse_xlsx(data, 0)
+        assert rows[0] == ["Cust Name", "Acct Bal", "Active", "Note"]
+        assert rows[1] == ["Alice", "1200.5", "true", "said hi"]
+        assert rows[2] == ["Bob", "42", "false", ""]       # 42.0 → "42"
+        assert rows[3] == ["Chloé", "-7", "true", "naïve café"]
+        assert excel_sheet_names(data) == ["People"]
+
+
+def test_parse_xlsx_sheet_selection(tmp_path):
     import pytest as _pytest
 
-    try:
-        import openpyxl  # noqa: F401
-        _pytest.skip("openpyxl present; gate not exercised")
-    except ImportError:
-        pass
+    from bytefreq_spark.sources.tabular import parse_xlsx
+
+    data = _make_xlsx({
+        "first": [["a"], ["1"]],
+        "second": [["b", "c"], ["x", 9]],
+    })
+    assert parse_xlsx(data, 1) == [["b", "c"], ["x", "9"]]
+    assert parse_xlsx(data, "second") == parse_xlsx(data, 1)
+    with _pytest.raises(ValueError, match="out of range"):
+        parse_xlsx(data, 5)
+    with _pytest.raises(ValueError, match="no sheet named"):
+        parse_xlsx(data, "nope")
+    with _pytest.raises(ValueError, match="empty"):
+        parse_xlsx(_make_xlsx({"e": [[None]]}), 0)
+
+
+def test_read_excel_spark(spark, tmp_path):
+    """read_excel end-to-end: header normalization + all-string frame."""
     from bytefreq_spark.sources.tabular import read_excel
 
-    with _pytest.raises(NotImplementedError):
-        read_excel(spark, "/tmp/nonexistent.xlsx")
+    p = tmp_path / "people.xlsx"
+    p.write_bytes(_make_xlsx({"People": _XLSX_ROWS}))
+    df = read_excel(spark, str(p))
+    assert df.columns == ["Cust_Name", "Acct_Bal", "Active", "Note"]
+    rows = [tuple(r) for r in df.orderBy("Cust_Name").collect()]
+    assert rows == [
+        ("Alice", "1200.5", "true", "said hi"),
+        ("Bob", "42", "false", ""),
+        ("Chloé", "-7", "true", "naïve café"),
+    ]
+
+
+def test_read_excel_files_distributed(spark, tmp_path):
+    """Many workbooks → binaryFile + one parse task per file."""
+    import pytest as _pytest
+
+    from bytefreq_spark.sources.tabular import read_excel_files
+
+    hdr = [["Id", "Val"]]
+    for i in range(3):
+        (tmp_path / f"wb{i}.xlsx").write_bytes(
+            _make_xlsx({"s": hdr + [[i * 10 + j, f"v{i}-{j}"]
+                                    for j in range(4)]}))
+    df = read_excel_files(spark, str(tmp_path / "*.xlsx"))
+    assert df.columns == ["Id", "Val"]
+    assert df.count() == 12
+    got = {tuple(r) for r in df.collect()}
+    assert ("10", "v1-0") in got and ("23", "v2-3") in got
+
+    (tmp_path / "bad.xlsx").write_bytes(
+        _make_xlsx({"s": [["Other", "Header"], [1, "x"]]}))
+    with _pytest.raises(Exception, match="header mismatch"):
+        read_excel_files(spark, str(tmp_path / "*.xlsx")).collect()
 
 
 def test_read_delimited_multipartition(spark, tmp_path_factory):

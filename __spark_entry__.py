@@ -500,22 +500,27 @@ def q_stateful_dedup_stream(spark, sf_dir):
     )
     # ProcessingTimeTimeout keeps an availableNow query alive in state-cleanup
     # epochs forever (processAllAvailable hangs too) — poll the sink until all
-    # input rows have landed, then stop.  Fail-FAST: if the sink count stalls
-    # (no growth for 20 s) the run can't recover, so bail rather than burning
-    # the sweep's budget (r3's 180 s flat deadline sat exactly before the
-    # entries the driver never reached).
+    # input rows have landed, then stop.  Fail-FAST, but on the right signal:
+    # the single-batch memory sink publishes its rows in ONE jump at batch
+    # end, so a cold/noisy batch can legitimately show a 0-count sink for
+    # tens of seconds (this entry now runs FIRST in the sweep, cold JVM).
+    # "Wedged" therefore means neither the sink count NOR the query's
+    # micro-batch progress log has advanced for 30 s — the state-cleanup-
+    # epoch hang produces no new progress entries either, while a slow real
+    # batch keeps the timer alive through recentProgress growth.
     import time as _time
 
     expected = inp.count()
-    deadline = _time.time() + 90
-    last_n, last_progress = -1, _time.time()
+    deadline = _time.time() + 150
+    last_sig, last_progress = (-1, -1), _time.time()
     while _time.time() < deadline:
         n = spark.table("stateful_out").count()
         if n >= expected:
             break
-        if n > last_n:
-            last_n, last_progress = n, _time.time()
-        elif _time.time() - last_progress > 20:
+        sig = (n, len(q.recentProgress))
+        if sig != last_sig:
+            last_sig, last_progress = sig, _time.time()
+        elif _time.time() - last_progress > 30:
             break
         _time.sleep(1)
     q.stop()

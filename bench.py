@@ -120,7 +120,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # corpus).  min-of-2 with cache clears (signature staging could otherwise
     # be served from CacheManager).
     from bytefreq_spark.similarity import (
-        embedding_near_dup_pairs, ivf_query_clusters, ivf_topk_partitioned,
+        embedding_near_dup_pairs, ivf_topk_partitioned,
         ivf_train_centroids, ivf_write_partitioned,
     )
 

@@ -537,7 +537,10 @@ def expire_snapshots(out_dir: str, name: str, keep_last: int = 1) -> list[int]:
     """Iceberg-style maintenance: drop all but the newest ``keep_last``
     versions (data dirs deleted, log entries removed, current pointer kept).
     The current version always survives, so ``keep_last`` is clamped to ≥ 1.
-    Returns the expired version ids."""
+    Also sweeps orphan ``v{N}`` dirs the manifest doesn't list (crashed
+    expire leftovers / abandoned half-written snapshots) — like Iceberg's
+    own maintenance actions, this must not run concurrently with a writer
+    on the same snapshot name.  Returns the expired version ids."""
     import shutil
 
     keep_last = max(keep_last, 1)
@@ -548,9 +551,8 @@ def expire_snapshots(out_dir: str, name: str, keep_last: int = 1) -> list[int]:
     expire = [v for v in versions[:-keep_last] if v != int(man["current"])]
     # manifest-first, delete-second: the manifest is the commit point, so it
     # must never list a version whose data is gone.  A crash after the
-    # os.replace merely orphans data dirs (re-running expire or a later
-    # rmtree sweep reclaims them); the reverse order would break time travel
-    # on every surviving reader.
+    # os.replace merely orphans data dirs; the reverse order would break
+    # time travel on every surviving reader.
     for v in expire:
         man["versions"].pop(str(v), None)
     tmp = _manifest_path(out_dir, name) + ".tmp"
@@ -559,6 +561,17 @@ def expire_snapshots(out_dir: str, name: str, keep_last: int = 1) -> list[int]:
     os.replace(tmp, _manifest_path(out_dir, name))
     for v in expire:
         shutil.rmtree(os.path.join(out_dir, name, f"v{v}"), ignore_errors=True)
+    # orphan sweep — the recovery half of manifest-first ordering: any v{N}
+    # dir on disk that the committed manifest no longer (or never) lists is
+    # either a crashed expire's leftover or a half-written snapshot; without
+    # this, repeated crashes would leak data dirs forever
+    base = os.path.join(out_dir, name)
+    live = {f"v{v}" for v in man["versions"]}
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if (d.startswith("v") and d[1:].isdigit() and d not in live
+                    and os.path.isdir(os.path.join(base, d))):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     return expire
 
 

@@ -379,7 +379,10 @@ def make_xlsx(sheets: dict[str, list[list]], shared: bool = True) -> bytes:
     ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
     rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
     sheet_tags = "".join(
-        f'<sheet name="{escape(nm)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        # attribute context: escape() alone leaves '"' unescaped and would
+        # emit a malformed name="a"b" attribute
+        f'<sheet name="{escape(nm, {chr(34): "&quot;"})}" '
+        f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, nm in enumerate(sheets)
     )
     workbook = (

@@ -350,6 +350,20 @@ def test_snapshot_time_travel(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, out, "t", version=1)
 
+    # r4 crash-recovery contract: (a) the manifest is rewritten BEFORE data
+    # dirs are deleted, so a crash can only leave orphan dirs, never a
+    # manifest pointing at missing data; (b) the orphan sweep on the next
+    # expire reclaims such leftovers (simulated by planting a dir the
+    # manifest doesn't list)
+    import os as _os
+    orphan = _os.path.join(out, "t", "v1")
+    _os.makedirs(orphan, exist_ok=True)
+    with open(_os.path.join(orphan, "junk"), "w") as f:
+        f.write("crashed-expire leftover")
+    assert expire_snapshots(out, "t", keep_last=1) == []  # nothing in log
+    assert not _os.path.exists(orphan)                     # ...but swept
+    assert read_snapshot(spark, out, "t").count() == 9     # current intact
+
 
 def test_quality_filter_stream_multibatch_boundary(spark, tmp_path):
     """The documented limitation, made falsifiable: with >1 micro-batch the

@@ -229,6 +229,17 @@ def test_parse_xlsx_sheet_selection(tmp_path):
         parse_xlsx(_make_xlsx({"e": [[None]]}), 0)
 
 
+def test_make_xlsx_sheet_name_attribute_escaping():
+    """Sheet names land in an XML ATTRIBUTE: '\"' and '&' must survive the
+    round trip (plain escape() leaves quotes alone → malformed workbook)."""
+    from bytefreq_spark.sources.tabular import excel_sheet_names, parse_xlsx
+
+    name = 'Q1 "final" & draft'
+    data = _make_xlsx({name: [["h"], ["v"]]})
+    assert excel_sheet_names(data) == [name]
+    assert parse_xlsx(data, name) == [["h"], ["v"]]
+
+
 def test_read_excel_spark(spark, tmp_path):
     """read_excel end-to-end: header normalization + all-string frame."""
     from bytefreq_spark.sources.tabular import read_excel

@@ -95,3 +95,64 @@ def test_mask_properties(v):
     lu_expect = re.sub(r"(.)\1+", r"\1", hu, flags=re.DOTALL) or "_"
     assert mask_str(v, "LU") == lu_expect
     assert len(mask_str(v, "H")) == len(v)
+
+
+# xlsx round trip: XML-safe text (no control chars / surrogates — invalid in
+# XML 1.0 documents), mixed cell types, gaps via None
+_XML_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc", "Co")),
+    max_size=30,
+)
+_CELL = st.one_of(
+    st.none(),
+    _XML_TEXT,
+    st.booleans(),
+    st.integers(min_value=-10**12, max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+_SHEET = st.lists(
+    st.lists(_CELL, min_size=1, max_size=6), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_SHEET, st.booleans())
+def test_xlsx_round_trip_property(rows, shared):
+    """make_xlsx → parse_xlsx reproduces excel_cell_to_string of every cell
+    (None = a GAP ref, parsed back as ""), padded to the sheet's used width,
+    for both shared-string and inline-string encodings."""
+    from bytefreq_spark.sources.tabular import (
+        excel_cell_to_string, make_xlsx, parse_xlsx,
+    )
+
+    # a sheet whose every cell stringifies to "" is "empty" by reference
+    # semantics — force one visible cell
+    rows = [[("h" if ri == ci == 0 and excel_cell_to_string(v) == "" else v)
+             for ci, v in enumerate(row)] for ri, row in enumerate(rows)]
+    data = make_xlsx({"s": rows}, shared=shared)
+    got = parse_xlsx(data, 0)
+
+    def cell_text(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return excel_cell_to_string(float(v))  # parser's number path
+        return v
+
+    # model: writer emits only non-None cells at their A1 refs; reader pads
+    # gaps with "", strips all-empty lead columns, pads rows to used width
+    raw = []
+    for row in rows:
+        cells: list[str] = []
+        for ci, v in enumerate(row):
+            if v is None:
+                continue
+            while len(cells) <= ci:
+                cells.append("")
+            cells[ci] = cell_text(v)
+        raw.append(cells)
+    lead = min(ci for r in raw for ci, c in enumerate(r) if c != "")
+    trimmed = [r[lead:] for r in raw]
+    width = max(len(r) for r in trimmed)
+    expect = [r + [""] * (width - len(r)) for r in trimmed]
+    assert got == expect

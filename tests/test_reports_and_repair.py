@@ -88,6 +88,26 @@ def test_mojibake_full_cp1252_sweep():
     assert len(MOJIBAKE_MAP) > 100
 
 
+def test_mojibake_double_encoding_characterized():
+    """Characterized behavior of the sequential replace chain (same shape as
+    the reference's sed pipeline): repairing the outer layer of a TWICE-
+    broken char re-exposes the inner mojibake, which then repairs iff its
+    rule sorts later in the chain than the outer rules that produced it
+    (ties in the longest-first sort keep 0x80-0x9F targets before Latin-1).
+    One pass is guaranteed to peel exactly one layer; full double-decode is
+    order-dependent — pin one example of each so a future re-ordering of
+    the map changes this test, not silently changes production output."""
+    def brk(s: str) -> str:
+        return s.encode("utf-8").decode("cp1252")
+
+    one = repair_encoding_series(pd.Series([brk(brk("Ä"))]))[0]
+    assert one == "Ä"            # inner rule (Ã„, latin-1) sorts after Ãƒ
+    other = repair_encoding_series(pd.Series([brk(brk("œ"))]))[0]
+    assert other == brk("œ")     # inner rule (Å“, 0x9C target) already ran
+    # a second pass always finishes the job
+    assert repair_encoding_series(pd.Series([other]))[0] == "œ"
+
+
 def test_streaming_mask_frequency(spark, tmp_path):
     from bytefreq_spark.streaming.profile_stream import (
         read_transcript_stream,

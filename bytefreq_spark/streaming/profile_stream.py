@@ -76,3 +76,39 @@ def quality_filter_stream(
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def incremental_ingest_stream(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    salt_partitions: int | None = None,
+):
+    """Streaming incremental ingest: the 10^12-turn ingest loop as a
+    Structured Streaming job.  Each micro-batch of arriving conversations
+    runs the same crash-safe ``run_incremental`` commit the batch path uses —
+    anti-join against the committed labels snapshot, label only the new
+    conversations, maintain the mask-frequency dictionary as an additive
+    monoid (≡ full-corpus tally, asserted in tests).
+
+    Effectively-exactly-once WITHOUT sink transactions: ``foreachBatch`` is
+    at-least-once on retry, but the anti-join makes reprocessing a batch a
+    no-op (its conversations are already in the labels snapshot), so the
+    combination is idempotent end-to-end.  Conversations must be
+    ingest-atomic (all turns of a conversation land in one file), which the
+    per-conversation file layout of a transcript feed gives naturally.
+    """
+    from ..pipeline import run_incremental
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        run_incremental(
+            batch_df.sparkSession, batch_df, out_dir,
+            salt_partitions=salt_partitions,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )

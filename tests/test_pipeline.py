@@ -547,3 +547,59 @@ def test_run_incremental(spark, tmp_path):
                   for r in mask_frequency_dict(with_mask_key(abc)).collect()}
     assert freq_inc3 == freq_full3
     assert "zzzz" not in freq_inc3
+
+
+def test_incremental_ingest_stream(spark, tmp_path):
+    """r4: the 10^12-turn ingest loop as a streaming job — each micro-batch
+    runs the crash-safe run_incremental commit.  Asserts (a) multi-micro-
+    batch ingest (maxFilesPerTrigger=1) labels everything exactly once and
+    the monoid dictionary equals the full-corpus tally, (b) REPLAYING the
+    whole feed under a FRESH checkpoint (foreachBatch's at-least-once worst
+    case) is a no-op thanks to the anti-join — effectively-exactly-once
+    without sink transactions."""
+    from bytefreq_spark.pipeline import (
+        mask_frequency_dict, read_snapshot, snapshot_versions, with_mask_key,
+    )
+    from bytefreq_spark.streaming.profile_stream import (
+        incremental_ingest_stream, read_transcript_stream,
+    )
+    from bytefreq_spark.synth import gen_transcripts_spark
+
+    in_dir, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    a = gen_transcripts_spark(spark, 25)
+    b = gen_transcripts_spark(spark, 50).join(
+        a.select("conv_id").distinct(), "conv_id", "left_anti")
+    a.coalesce(1).write.mode("append").parquet(in_dir)
+    b.coalesce(1).write.mode("append").parquet(in_dir)
+    full = spark.read.parquet(in_dir)
+
+    def run(ckpt_dir):
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            incremental_ingest_stream(stream, out, ckpt_dir,
+                                      salt_partitions=8)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run(ckpt)
+    labels = read_snapshot(spark, out, "labels")
+    assert labels.count() == full.count()
+    assert labels.select("conv_id", "turn_idx").distinct().count() == full.count()
+    n_versions = len(snapshot_versions(out, "labels"))
+    assert n_versions >= 2  # really ingested in >1 micro-batch
+
+    freq_inc = {r["lu_key"]: r["lu_count"]
+                for r in read_snapshot(spark, out, "freq").collect()}
+    freq_full = {r["lu_key"]: r["lu_count"]
+                 for r in mask_frequency_dict(with_mask_key(full)).collect()}
+    assert freq_inc == freq_full
+
+    # full replay, fresh checkpoint: every batch reprocessed, nothing changes
+    run(str(tmp_path / "ckpt2"))
+    labels2 = read_snapshot(spark, out, "labels")
+    assert labels2.count() == full.count()
+    assert len(snapshot_versions(out, "labels")) == n_versions

@@ -724,6 +724,26 @@ def q_ann_lsh(spark, sf_dir):
 
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-level exact paragraph dedup (C4/RefinedWeb shape): documents
+    built deterministically from customer rows — a unique paragraph
+    (c_name), a 5-way-shared paragraph (c_mktsegment) and a fully-shared
+    footer.  keep-first means only the lowest-custkey doc per segment keeps
+    its segment paragraph, and only the global first doc keeps the footer.
+    Oracle: DuckDB replays split → keep-min((id,pos)) → ordered reassembly."""
+    from bytefreq_spark.dedup import paragraph_dedup
+
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    docs = cust.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat_ws(
+            "\n\n", F.col("c_name"), F.col("c_mktsegment"),
+            F.lit("standard footer paragraph"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(docs).withColumnRenamed("text", "deduped_text")
+
+
 def q_excel_scan(spark, sf_dir):
     """S7 Excel scan, now a REAL driver surface (r4): the nation table is
     written to a staged xlsx (stdlib zip+XML writer, mixed cell types —
@@ -1085,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_summary": q_dedup_exact_summary,
         "dedup_exact_kept": q_dedup_exact_kept,
         "exact_dup_groups": q_exact_dup_groups,
+        "paragraph_dedup": q_paragraph_dedup,
         "near_dup_truth_pairs": q_near_dup_truth_pairs,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -1408,6 +1429,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "encoding_repair": """
             SELECT doc_id, 'caf\u00e9 ' AS prefix FROM documents
+        """,
+        "paragraph_dedup": """
+            WITH docs AS (
+              SELECT c_custkey AS doc_id,
+                     c_name || chr(10)||chr(10) || c_mktsegment ||
+                     chr(10)||chr(10) || 'standard footer paragraph' AS text
+              FROM customer WHERE c_custkey < 400
+            ), split AS (
+              SELECT doc_id, string_split(text, chr(10)||chr(10)) AS arr
+              FROM docs
+            ), paras AS (
+              SELECT doc_id,
+                     unnest(arr) AS para,
+                     generate_subscripts(arr, 1) - 1 AS pos
+              FROM split
+            ), kept AS (
+              SELECT doc_id, para, pos
+              FROM paras
+              QUALIFY row_number() OVER (
+                PARTITION BY para ORDER BY doc_id, pos) = 1
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10)||chr(10) ORDER BY pos)
+                       AS deduped_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.deduped_text, '') AS deduped_text
+            FROM docs d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "excel_scan": """
             SELECT CAST(n_nationkey AS VARCHAR) AS Nation_Key,

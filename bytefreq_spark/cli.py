@@ -77,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     dd = sub.add_parser("dedup", help="document deduplication family")
     dd.add_argument("--input", required=True, help="parquet docs table")
     dd.add_argument("--method", default="exact",
-                    choices=["exact", "minhash", "simhash"])
+                    choices=["exact", "minhash", "simhash", "paragraph"])
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--threshold", type=float, default=0.6,
@@ -194,12 +194,15 @@ def main(argv: list[str] | None = None) -> int:
             print(render())
     elif args.cmd == "dedup":
         from .dedup import (
-            dedup_exact, minhash_near_dups, simhash_near_dup_pairs,
+            dedup_exact, minhash_near_dups, paragraph_dedup,
+            simhash_near_dup_pairs,
         )
 
         df = spark.read.parquet(args.input)
         if args.method == "exact":
             out = dedup_exact(df, args.text_col, args.id_col)
+        elif args.method == "paragraph":
+            out = paragraph_dedup(df, args.text_col, args.id_col)
         elif args.method == "minhash":
             out = minhash_near_dups(
                 df, args.text_col, args.id_col, threshold=args.threshold

@@ -473,3 +473,57 @@ def ngram_jaccard(
         "id_a", "id_b",
         (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    sep: str = "\n\n", min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level exact PARAGRAPH dedup (the C4/RefinedWeb trick): split
+    each document on ``sep``, keep only the FIRST occurrence of every exact
+    paragraph corpus-wide (first = smallest ``(id, position)``), reassemble
+    documents in original paragraph order.  Boilerplate paragraphs repeated
+    across millions of pages survive exactly once, in the earliest document.
+
+    Scale shape: keep-first is a groupBy(para).agg(min(struct(id, pos)))
+    followed by an equi-join back — NOT a window over para — so a paragraph
+    repeated 10^8 times is a map-side-combined aggregation, never a single
+    task sorting 10^8 rows.  Paragraphs shorter than ``min_chars`` (e.g. the
+    empty strings a trailing separator produces) bypass dedup and are kept
+    verbatim.  Documents whose every paragraph was deduplicated away come
+    back with empty text (kept, not dropped, so lineage row counts hold).
+    """
+    import re as _re
+
+    parts = F.split(F.col(text_col), _re.escape(sep), -1)
+    paras = df.select(
+        F.col(id_col), F.posexplode(parts).alias("pos", "para")
+    )
+    cand = paras.filter(F.length("para") >= min_chars)
+    short = paras.filter(F.length("para") < min_chars)
+    firsts = cand.groupBy("para").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p")))
+        .alias("_first")
+    )
+    kept = (
+        cand.join(firsts, "para")
+        .filter((F.col(id_col) == F.col("_first.i"))
+                & (F.col("pos") == F.col("_first.p")))
+        .drop("_first")
+    )
+    surviving = kept.unionByName(short)
+    rebuilt = surviving.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

@@ -109,6 +109,21 @@ def main():
         ("rank filter applied", lambda p: "rn" in p),
     ])
 
+    # 5b. paragraph dedup: keep-first must be agg+join (map-side combined,
+    # hot-paragraph safe), never a window partitioned by the paragraph (one
+    # task would sort every occurrence of a 10^8-x boilerplate paragraph)
+    # (struct-min buffers are immutable, so Spark plans SortAggregate, not
+    # HashAggregate — the partial stage still map-side-combines over INPUT
+    # partitioning, so a hot paragraph's occurrences are spread across
+    # partitions and only per-partition minima reach the keyed exchange)
+    audit("paragraph_dedup", entry.q_paragraph_dedup(spark, SF_DIR), [
+        ("keep-first is partial+final agg on para (map-side combine)",
+         lambda p: bool(re.search(r"partial_min\(struct\(i, doc_id", p))
+         and bool(re.search(r"Keys \[1\]: \[para", p))),
+        ("no window partitioned by para",
+         lambda p: not re.search(r"windowspecdefinition\(para", p)),
+    ])
+
     # 6. IVF materialized layout: the probe read must be partition-pruned
     # (the 100 TB search path — only probed cluster directories are listed)
     from bytefreq_spark.similarity import (

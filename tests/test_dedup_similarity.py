@@ -523,3 +523,32 @@ def test_embedding_near_dup_pairs(spark):
     assert all(c >= 0.99 for c in got.values())
     # random 16-dim pairs essentially never hit 0.99 → no junk pairs
     assert len(set(got) - planted) <= 2
+
+
+def test_paragraph_dedup(spark):
+    """r4: C4-style corpus-level paragraph dedup — first occurrence (by
+    (id, pos)) of every exact paragraph survives, later repeats vanish,
+    paragraph order inside documents is preserved, fully-deduped documents
+    come back empty (kept for lineage), sub-min_chars paragraphs bypass."""
+    from bytefreq_spark.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\n\nshared boiler\n\nmore of one"),
+            (2, "shared boiler\n\nunique two"),
+            (3, "shared boiler"),
+            (4, "unique two\n\nx\n\nunique four"),  # 'x' < min_chars=2
+            (5, "shared boiler\n\nshared boiler"),   # repeat within one doc
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in paragraph_dedup(docs, min_chars=2).collect()}
+    assert out[1] == "unique one\n\nshared boiler\n\nmore of one"  # first wins
+    assert out[2] == "unique two"
+    assert out[3] == ""                      # fully deduped, kept as empty
+    # doc 4: 'unique two' first occurred at (2, 1) so it vanishes here;
+    # 'x' bypasses dedup via min_chars
+    assert out[4] == "x\n\nunique four"
+    assert out[5] == ""                      # both copies lose to (1, 1)
+    assert set(out) == {1, 2, 3, 4, 5}

@@ -136,6 +136,24 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         nd_walls.append(time.time() - t0)
     timings["embedding_near_dups"] = round(min(nd_walls), 3)
 
+    # paragraph dedup over the documents corpus, paragraphized
+    # deterministically (the synthetic docs are single-paragraph word salad;
+    # breaking on a common word yields realistic paragraph counts with heavy
+    # cross-document duplication — exactly the C4 shape the operator targets)
+    from bytefreq_spark.dedup import paragraph_dedup
+
+    para_docs = docs.select(
+        "doc_id",
+        F.regexp_replace("text", " table ", "\n\n").alias("text"),
+    )
+    pd_walls = []
+    for _rep in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _materialize(paragraph_dedup(para_docs))
+        pd_walls.append(time.time() - t0)
+    timings["paragraph_dedup"] = round(min(pd_walls), 3)
+
     # IVF: the one-time index build (k-means train + partitionBy layout
     # write) and the per-query pruned probe read are separate costs — a user
     # pays the first once per corpus, the second per search.

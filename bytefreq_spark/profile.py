@@ -260,12 +260,13 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             F.count_distinct("raw").alias("n_distinct"),
             F.min("raw").alias("min_val"),
             F.max("raw").alias("max_val"),
-            # decimal, not double: both engines round the same double then
-            # cast, so the driver's typed value-hash can't diverge on a
-            # float-repr boundary (r3 lesson: DuckDB HUGEINT/float64 vs
-            # Spark bigint hash-mismatched with identical values)
+            # double, not decimal: Spark decimal(18,4) materializes in pandas
+            # as decimal.Decimal objects while DuckDB DECIMAL(18,4) arrives as
+            # float64 — identical values, different dtypes, hash mismatch (the
+            # r3/r4 lesson).  4dp-rounded values map to the same nearest double
+            # in both engines, so round-then-DOUBLE on both sides is stable.
             F.round(F.avg(F.length("raw")), 4)
-            .cast("decimal(18,4)").alias("avg_len"),
+            .cast("double").alias("avg_len"),
         )
         .orderBy("column")
     )

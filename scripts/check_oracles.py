@@ -48,7 +48,11 @@ def norm_cell(v):
     import decimal
 
     if isinstance(v, decimal.Decimal):
-        return ("f", round(float(v), 6))
+        # Tagged distinctly from float: Spark decimal(N,M) reaches pandas as
+        # Decimal objects while DuckDB DECIMAL arrives as float64 — the driver
+        # hash-mismatches on that dtype split (column_stats, r3+r4), so the
+        # local gate must too.
+        return ("d", round(float(v), 6))
     if isinstance(v, (datetime.date, datetime.datetime)):
         return str(v)
     return v
@@ -93,7 +97,7 @@ def main():
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows)"
                   f"  [{time.time() - t0:.1f}s]")
-            if len(sdf) == 0 and name != "dedup_exact_summary":
+            if len(sdf) == 0:
                 print(f"      WARNING: 0 rows")
             continue
         try:

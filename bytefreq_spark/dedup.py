@@ -477,7 +477,7 @@ def ngram_jaccard(
 
 def paragraph_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    sep: str = "\n\n", min_chars: int = 1,
+    sep: str = "\n\n", min_chars: int = 1, key_fn=None,
 ) -> DataFrame:
     """Corpus-level exact PARAGRAPH dedup (the C4/RefinedWeb trick): split
     each document on ``sep``, keep only the FIRST occurrence of every exact
@@ -485,13 +485,29 @@ def paragraph_dedup(
     documents in original paragraph order.  Boilerplate paragraphs repeated
     across millions of pages survive exactly once, in the earliest document.
 
-    Scale shape: keep-first is a groupBy(para).agg(min(struct(id, pos)))
-    followed by an equi-join back — NOT a window over para — so a paragraph
-    repeated 10^8 times is a map-side-combined aggregation, never a single
-    task sorting 10^8 rows.  Paragraphs shorter than ``min_chars`` (e.g. the
-    empty strings a trailing separator produces) bypass dedup and are kept
-    verbatim.  Documents whose every paragraph was deduplicated away come
-    back with empty text (kept, not dropped, so lineage row counts hold).
+    Scale shape: keep-first is a groupBy + equi-join back — NOT a window
+    over para — so a paragraph repeated 10^8 times is a map-side-combined
+    aggregation, never a single task sorting 10^8 rows.  Two constant-factor
+    choices matter at 100 TB and are deliberate here:
+
+    * the group/join key is ``xxhash64(para)``, NOT the raw paragraph text —
+      shuffle keys are 8 bytes instead of 1-10 KB of boilerplate.  A 64-bit
+      collision falsely merges two distinct paragraphs (keeps one); expected
+      collisions ≈ n²/2⁶⁵ ≈ 3 at n = 10^10 paragraphs — noise for a training
+      corpus.  Collision-paranoid callers pass ``key_fn=lambda c:
+      F.sha2(c, 256)`` (32-byte keys, still ≫10× smaller than the text).
+    * the keep-first witness ``min(struct(id, pos))`` is packed into ONE
+      orderable BIGINT ``id·2³² + pos``: min-of-struct has an immutable agg
+      buffer and plans **SortAggregate** (every partition sorts by key before
+      aggregating), while min-of-bigint hash-aggregates with map-side
+      combine.  Requires ``0 ≤ id < 2³¹`` and ``pos < 2³²`` — ANSI mode
+      turns an id overflow into a hard error rather than silent misorder,
+      and pos is bounded by paragraphs-per-document.
+
+    Paragraphs shorter than ``min_chars`` (e.g. the empty strings a trailing
+    separator produces) bypass dedup and are kept verbatim.  Documents whose
+    every paragraph was deduplicated away come back with empty text (kept,
+    not dropped, so lineage row counts hold).
     """
     import re as _re
 
@@ -501,15 +517,17 @@ def paragraph_dedup(
     )
     cand = paras.filter(F.length("para") >= min_chars)
     short = paras.filter(F.length("para") < min_chars)
-    firsts = cand.groupBy("para").agg(
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p")))
-        .alias("_first")
+    keyed = cand.select(
+        F.col(id_col), "pos", "para",
+        (key_fn or F.xxhash64)(F.col("para")).alias("_pk"),
+        (F.col(id_col).cast("long") * F.lit(1 << 32).cast("long")
+         + F.col("pos").cast("long")).alias("_w"),
     )
+    firsts = keyed.groupBy("_pk").agg(F.min("_w").alias("_w0"))
     kept = (
-        cand.join(firsts, "para")
-        .filter((F.col(id_col) == F.col("_first.i"))
-                & (F.col("pos") == F.col("_first.p")))
-        .drop("_first")
+        keyed.join(firsts, "_pk")
+        .filter(F.col("_w") == F.col("_w0"))
+        .select(F.col(id_col), "pos", "para")
     )
     surviving = kept.unionByName(short)
     rebuilt = surviving.groupBy(id_col).agg(

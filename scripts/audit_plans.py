@@ -111,17 +111,22 @@ def main():
 
     # 5b. paragraph dedup: keep-first must be agg+join (map-side combined,
     # hot-paragraph safe), never a window partitioned by the paragraph (one
-    # task would sort every occurrence of a 10^8-x boilerplate paragraph)
-    # (struct-min buffers are immutable, so Spark plans SortAggregate, not
-    # HashAggregate — the partial stage still map-side-combines over INPUT
-    # partitioning, so a hot paragraph's occurrences are spread across
-    # partitions and only per-partition minima reach the keyed exchange)
+    # task would sort every occurrence of a 10^8-x boilerplate paragraph).
+    # r5: the witness is a packed BIGINT (id*2^32+pos) so min() keeps a
+    # mutable buffer -> HashAggregate (min-of-struct planned SortAggregate,
+    # which sorts every partition by key), and the group/join key is
+    # xxhash64(para) (8-byte shuffle keys) instead of the raw paragraph text
     audit("paragraph_dedup", entry.q_paragraph_dedup(spark, SF_DIR), [
-        ("keep-first is partial+final agg on para (map-side combine)",
-         lambda p: bool(re.search(r"partial_min\(struct\(i, doc_id", p))
-         and bool(re.search(r"Keys \[1\]: \[para", p))),
+        ("keep-first is a HashAggregate (mutable bigint min buffer), "
+         "never SortAggregate",
+         lambda p: bool(re.search(r"HashAggregate.*partial_min\(_w", p))
+         or (bool(re.search(r"partial_min\(_w", p))
+             and "SortAggregate" not in p)),
+        ("group/join key is the 64-bit paragraph hash, not the text",
+         lambda p: bool(re.search(r"Keys \[1\]: \[_pk", p))
+         and "xxhash64" in p),
         ("no window partitioned by para",
-         lambda p: not re.search(r"windowspecdefinition\(para", p)),
+         lambda p: not re.search(r"windowspecdefinition\((para|_pk)", p)),
     ])
 
     # 6. IVF materialized layout: the probe read must be partition-pruned

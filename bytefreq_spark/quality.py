@@ -54,27 +54,49 @@ def _ws_lut() -> np.ndarray:
     return _WS_LUT
 
 
-def _rowwise_count(mask: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Per-row popcount of a flat boolean mask (segmented reduce; empty-row
-    safe).  ``np.add.reduceat`` over the int8 view is ~2.4x the serial-
-    dependence cumsum formulation at 10M+ chars.  Two empty-row quirks are
-    handled explicitly: an interior empty row makes reduceat return the
-    single element at its start (zeroed afterward via ``lens == 0``), and a
-    TRAILING empty row has start == len(mask), which reduceat rejects — those
-    rows are excluded up front (their count is 0 by definition), which also
-    keeps the last valid row's segment running to the buffer end."""
-    out = np.zeros(len(starts), dtype=np.int64)
-    if not len(mask):
+_WS_LUT_EXT: np.ndarray | None = None
+
+
+def _ws_lut_ext() -> np.ndarray:
+    """``_ws_lut`` plus one False sentinel at index ``_WS_LUT_SIZE`` so
+    callers can clamp+gather (np.minimum) instead of the boolean-mask
+    gather/scatter, which materializes a second full-size index buffer
+    (measured 10× slower on a 176M-char batch)."""
+    global _WS_LUT_EXT
+    if _WS_LUT_EXT is None:
+        _WS_LUT_EXT = np.append(_ws_lut(), False)
+    return _WS_LUT_EXT
+
+
+def _rowwise_sum(vals: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-row sum of a flat int64 buffer (segmented reduce; empty-row safe).
+
+    ``np.add.reduceat`` over a same-dtype int64 buffer streams at memory
+    speed; reduceat with a ``dtype=`` upcast from int8 falls into a per-
+    element casting loop measured 13× slower — hence callers astype first.
+    Two empty-row quirks are handled explicitly: an interior empty row makes
+    reduceat return the single element at its start (zeroed afterward via
+    ``lens == 0``), and a TRAILING empty row has start == len(vals), which
+    reduceat rejects — those rows are excluded up front (their sum is 0 by
+    definition), which also keeps the last valid row's segment running to
+    the buffer end."""
+    out = np.zeros(len(starts), dtype=vals.dtype)
+    if not len(vals):
         return out
-    valid = starts < len(mask)
+    valid = starts < len(vals)
     if valid.all():
-        out = np.add.reduceat(mask.view(np.int8), starts, dtype=np.int64)
+        out = np.add.reduceat(vals, starts)
     elif valid.any():
-        out[valid] = np.add.reduceat(
-            mask.view(np.int8), starts[valid], dtype=np.int64
-        )
+        out[valid] = np.add.reduceat(vals, starts[valid])
     out[lens == 0] = 0
     return out
+
+
+def _rowwise_count(mask: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-row popcount of a flat boolean mask (segmented reduce).  int32
+    accumulator (rows are far below 2^31 chars): halves the memory traffic
+    of the astype+reduceat pair on the flat buffer."""
+    return _rowwise_sum(mask.astype(np.int32), starts, lens).astype(np.int64)
 
 
 
@@ -96,20 +118,42 @@ def text_features(texts: pd.Series) -> pd.DataFrame:
     rcodes, rstarts, rlens = flat_codes(t)
     n_chars = rlens.astype(np.int64)
 
-    # per-row class counts: class(cp) LUT + per-class cumsum row-reduce
+    # per-row class counts: class(cp) LUT, then all five classes in TWO
+    # packed segmented reduces — class c contributes 1 << (21*field(c)) to
+    # one of two int64 accumulators (3 + 2 fields of 21 bits), so each
+    # reduce pass covers 3 classes instead of one compare+reduce per class
+    # (5 passes → 2; measured 8× on a 176M-char batch).  21-bit fields hold
+    # rows up to 2M chars; longer rows take the per-class fallback.
     cls = hu_class_codes(rcodes)
-    counts = np.stack(
-        [_rowwise_count(cls == i, rstarts, rlens) for i in range(4)]
-    )  # a, A, 9, space
+    max_len = int(rlens.max()) if len(rlens) else 0
+    if max_len < (1 << 21):
+        pack_a = np.zeros(8, dtype=np.int64)  # cls 0,1,2 -> fields 0,1,2
+        pack_b = np.zeros(8, dtype=np.int64)  # cls 3,4   -> fields 0,1
+        for c, shift in ((0, 0), (1, 21), (2, 42)):
+            pack_a[c] = np.int64(1) << shift
+        for c, shift in ((3, 0), (4, 21)):
+            pack_b[c] = np.int64(1) << shift
+        sum_a = _rowwise_sum(pack_a[cls], rstarts, rlens)
+        sum_b = _rowwise_sum(pack_b[cls], rstarts, rlens)
+        m21 = (1 << 21) - 1
+        counts = np.stack([
+            sum_a & m21, (sum_a >> 21) & m21, (sum_a >> 42) & m21,
+            sum_b & m21,
+        ])  # a, A, 9, space
+        weird = (sum_b >> 21) & m21
+    else:
+        counts = np.stack(
+            [_rowwise_count(cls == i, rstarts, rlens) for i in range(4)]
+        )
+        weird = _rowwise_count(cls == 4, rstarts, rlens)
     known = counts.sum(axis=0)
     other = np.maximum(n_chars - known, 0)  # '_' + kept punctuation ",.-\""
-    weird = _rowwise_count(cls == 4, rstarts, rlens)
     digits = counts[2]
 
     # token count ≡ str.count(r"\S+"): non-ws positions preceded by ws/start
-    ws = np.zeros(len(rcodes), dtype=bool)
-    small = rcodes < _WS_LUT_SIZE
-    ws[small] = _ws_lut()[rcodes[small]]
+    # (clamp+gather against the sentinel-extended LUT — index _WS_LUT_SIZE
+    # is False, and no codepoint ≥ U+3001 is whitespace)
+    ws = _ws_lut_ext()[np.minimum(rcodes, np.uint32(_WS_LUT_SIZE))]
     prev_ws = np.empty(len(rcodes), dtype=bool)
     if len(rcodes):
         prev_ws[0] = True

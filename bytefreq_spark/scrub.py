@@ -63,6 +63,41 @@ def scrub_series(texts: pd.Series) -> pd.Series:
     return out
 
 
+# Java-dialect sources for the native (JVM regexp_replace) fast path.
+# VALID ONLY FOR PURE-ASCII INPUT: restricted to code points < 128, the two
+# engines' semantics coincide exactly — \d = [0-9], \w = [A-Za-z0-9_] (so \b
+# agrees), (?i) folds only ASCII, lookarounds and greedy backtracking are
+# leftmost-first in both, and replaceAll/re.sub both substitute
+# non-overlapping matches left to right.  Byte-identity on ASCII is enforced
+# by test_scrub_native_matches_python.  Non-ASCII rows DIVERGE and must take
+# the Python kernel: Python's \d/\w/IGNORECASE are Unicode-aware (e.g. \d
+# matches ARABIC-INDIC digits, 'ſ' matches (?i)s) while Java's defaults are
+# ASCII — and Java's (?U) mode is NOT a fix (its \w adds combining marks and
+# join controls that Python's \w excludes).  That audit is why only the
+# ASCII subset is eligible, not why the whole table stays in Python.
+SCRUB_RULES_JAVA: list[tuple[str, str, str]] = [
+    (
+        name,
+        ("(?i)" + pat.pattern) if pat.flags & re.IGNORECASE else pat.pattern,
+        rep,
+    )
+    for name, pat, rep in SCRUB_RULES
+]
+
+
+def scrub_col(c):
+    """Native-Column scrub chain (JVM, whole-stage codegen) — the ASCII fast
+    path.  Callers MUST gate on ``length(c) == octet_length(c)`` (char count
+    == UTF-8 byte count ⇔ every char < U+0080); see SCRUB_RULES_JAVA for why
+    non-ASCII rows must stay on the Python kernel."""
+    from pyspark.sql import functions as F
+
+    out = c
+    for _name, pat, rep in SCRUB_RULES_JAVA:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
 def scrub_series_naive(texts: pd.Series) -> pd.Series:
     """Unfiltered original formulation — differential-test reference."""
     out = texts.fillna("")

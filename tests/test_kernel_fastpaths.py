@@ -78,6 +78,79 @@ def test_langid_fast_equals_naive():
     assert detect_language(s).equals(detect_language_naive(s))
 
 
+def test_scrub_native_matches_python(spark):
+    """The JVM regexp_replace scrub chain (scrub_col) must be BYTE-IDENTICAL
+    to the Python kernel on every pure-ASCII input — the dialect-equivalence
+    claim the featurize fast-path router relies on.  Exercises every rule,
+    boundary edges, and the generated corpus' ASCII subset."""
+    from pyspark.sql import functions as F
+
+    from bytefreq_spark.scrub import scrub_col
+
+    s = _series()
+    ascii_rows = [
+        t for t in s.tolist()
+        if t is not None and t == t and t.isascii()
+    ]
+    ascii_rows += [
+        "a@b.co x 4111 1111 1111 1111 10.0.0.1 +12345678901 SW1A 1AA "
+        "123-45-6789 BULLSHIT",
+        "email-in-phone +1 a@b.co 5551234",
+        "card13 4111 1111 1111 1 card17 4111 1111 1111 11111",
+        "word_adjacent_ssn123-45-6789 but spaced 123-45-6789 ok",
+        "(555) 123-4567 ends. 1.2.3.4.5 overlong ip",
+    ]
+    pdf = pd.DataFrame({"text": ascii_rows})
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        r["scrubbed"]
+        for r in sdf.select(scrub_col(F.col("text")).alias("scrubbed"))
+        .collect()
+    ]
+    want = scrub_series(pd.Series(ascii_rows, dtype=object)).tolist()
+    assert got == want
+
+
+def test_scrub_router_sends_unicode_to_python(spark):
+    """Documented dialect divergences (Unicode digits match Python's \\d but
+    not Java's; 'ſ' matches (?i)s in Python only) — such rows MUST fail the
+    ASCII gate so featurize routes them through the Python kernel, keeping
+    end-to-end output byte-identical to scrub_series on EVERY input."""
+    from pyspark.sql import functions as F
+
+    from bytefreq_spark.pipeline import featurize
+
+    rows = [
+        "unicode phone +٣٣٣٣٣٣٣٣٣9",
+        "bullſhit with a long s",
+        "ascii control \x07 bell is still ascii 123-45-6789",
+        "mixed café a@b.co",
+        None,
+        "plain ascii a@b.co",
+    ]
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(rows))],
+        "turn_idx": list(range(len(rows))),
+        "role": ["user"] * len(rows),
+        "text": rows,
+    })
+    sdf = spark.createDataFrame(pdf)
+    # gate check: exactly the non-ASCII rows are NULL at the router
+    gate = sdf.select(
+        "turn_idx",
+        F.when(F.length("text") == F.octet_length("text"), F.lit(1)).alias("g"),
+    ).collect()
+    routed_native = {r["turn_idx"] for r in gate if r["g"] == 1}
+    assert routed_native == {2, 5}
+    # end-to-end: featurize's scrubbed_text ≡ the Python kernel everywhere
+    out = {
+        r["turn_idx"]: r["scrubbed_text"]
+        for r in featurize(sdf).select("turn_idx", "scrubbed_text").collect()
+    }
+    want = scrub_series(pd.Series(rows, dtype=object)).tolist()
+    assert [out[i] for i in range(len(rows))] == want
+
+
 def test_repair_encoding_prefilter():
     s = pd.Series(["cafÃ©", "café", "", None, "â€œxâ€", "plain"])
     fixed = repair_encoding_series(s)

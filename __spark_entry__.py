@@ -503,24 +503,32 @@ def q_stateful_dedup_stream(spark, sf_dir):
     # input rows have landed, then stop.  Fail-FAST, but on the right signal:
     # the single-batch memory sink publishes its rows in ONE jump at batch
     # end, so a cold/noisy batch can legitimately show a 0-count sink for
-    # tens of seconds (this entry now runs FIRST in the sweep, cold JVM).
-    # "Wedged" therefore means neither the sink count NOR the query's
-    # micro-batch progress log has advanced for 30 s — the state-cleanup-
-    # epoch hang produces no new progress entries either, while a slow real
-    # batch keeps the timer alive through recentProgress growth.
+    # tens of seconds (this entry runs FIRST in the sweep, cold JVM).
+    # Liveness signature: sink count + lastProgress batchId/timestamp (NOT
+    # len(recentProgress) — that buffer caps at 100 entries and only grows
+    # when a micro-batch COMPLETES, so a single long cold batch showed no
+    # movement) + the query status message.  The stall window is 75 s —
+    # well past the worst cold-batch time observed on this host (~27 s) —
+    # because a first micro-batch that is merely slow produces no progress
+    # entries at all; the state-cleanup-epoch hang this break targets burns
+    # timeout epochs that DO tick lastProgress, so it is distinguished by a
+    # static signature, not by silence.
     import time as _time
 
     expected = inp.count()
-    deadline = _time.time() + 150
-    last_sig, last_progress = (-1, -1), _time.time()
+    deadline = _time.time() + 180
+    last_sig, last_progress = None, _time.time()
     while _time.time() < deadline:
         n = spark.table("stateful_out").count()
         if n >= expected:
             break
-        sig = (n, len(q.recentProgress))
+        lp = q.lastProgress or {}
+        st = q.status or {}
+        sig = (n, lp.get("batchId"), lp.get("timestamp"),
+               st.get("message"), st.get("isDataAvailable"))
         if sig != last_sig:
             last_sig, last_progress = sig, _time.time()
-        elif _time.time() - last_progress > 30:
+        elif _time.time() - last_progress > 75:
             break
         _time.sleep(1)
     q.stop()

@@ -582,9 +582,15 @@ def expire_snapshots(out_dir: str, name: str, keep_last: int = 1) -> list[int]:
     # orphan sweep — the recovery half of manifest-first ordering: any v{N}
     # dir on disk that the committed manifest no longer (or never) lists is
     # either a crashed expire's leftover or a half-written snapshot; without
-    # this, repeated crashes would leak data dirs forever
+    # this, repeated crashes would leak data dirs forever.  v{current+1} is
+    # EXEMPT: write_snapshot stages data there before its manifest commit,
+    # so under a concurrent writer that directory is indistinguishable from
+    # a crashed leftover — it is the only version a writer can be staging,
+    # and a genuinely crashed v{current+1} is swept by the next expire after
+    # a successful commit moves current past it.
     base = os.path.join(out_dir, name)
     live = {f"v{v}" for v in man["versions"]}
+    live.add(f"v{int(man['current']) + 1}")
     if os.path.isdir(base):
         for d in os.listdir(base):
             if (d.startswith("v") and d[1:].isdigit() and d not in live

@@ -22,6 +22,22 @@ def normalize_header(name: str) -> str:
     return name.strip().replace(" ", "_")
 
 
+def dedupe_headers(headers: list[str]) -> list[str]:
+    """Make normalized headers usable as column names: empty cells become
+    ``col_{i}`` and later duplicates get ``_2``, ``_3``, ... suffixes
+    (normalization can collide — "A B" and "A_B" both normalize to "A_B" —
+    and a duplicate/empty name breaks every later by-name select with an
+    ambiguous-reference error)."""
+    seen: dict[str, int] = {}
+    out = []
+    for i, h in enumerate(headers):
+        h = h or f"col_{i}"
+        n = seen.get(h, 0) + 1
+        seen[h] = n
+        out.append(h if n == 1 else f"{h}_{n}")
+    return out
+
+
 def _sep_regex(delimiter: str) -> str:
     return "\\" + delimiter if delimiter in "|.$^*+?()[]{}" else delimiter
 
@@ -213,11 +229,22 @@ def parse_xlsx(data: bytes, sheet: int | str = 0) -> list[list[str]]:
 
         sheet_xml = ET.fromstring(z.read(target))
 
-    rows: list[list[str]] = []
+    # rows are placed by their 1-based ``r`` attribute: Excel OMITS fully
+    # empty rows from sheetData, so sequential appending would silently
+    # shift later rows up and header_row would select the wrong row.  Gaps
+    # become rows of "" (calamine used-range semantics: in-range empty rows
+    # exist); rows without an ``r`` fall back to the next sequential slot.
+    by_idx: dict[int, list[str]] = {}
+    next_seq = 0
     min_col = None
     for row in sheet_xml.iter():
         if not row.tag.endswith("}row"):
             continue
+        try:
+            ridx = int(row.attrib["r"]) - 1
+        except (KeyError, ValueError):
+            ridx = next_seq
+        next_seq = ridx + 1
         cells: list[str] = []
         for c in row:
             if not c.tag.endswith("}c"):
@@ -252,11 +279,19 @@ def parse_xlsx(data: bytes, sheet: int | str = 0) -> list[list[str]]:
             if cells[col] != "":
                 mc = col
                 min_col = mc if min_col is None else min(min_col, mc)
-        rows.append(cells)
-    if not any(any(c != "" for c in r) for r in rows):
+        by_idx[ridx] = cells
+    rows = [
+        by_idx.get(i, [])
+        for i in range(max(by_idx) + 1 if by_idx else 0)
+    ]
+    nonempty = [i for i, r in enumerate(rows) if any(c != "" for c in r)]
+    if not nonempty:
         raise ValueError("Sheet is empty")
-    # the reference's Range is the used bounding box: strip all-empty lead
-    # columns, pad every row to the widest
+    # the reference's Range is the used bounding box: strip all-empty LEAD
+    # and TRAIL rows (symmetric with the lead-column strip — a sheet whose
+    # data starts at row 5 has a 4-row-smaller range, not 4 blank rows),
+    # strip all-empty lead columns, pad every row to the widest
+    rows = rows[nonempty[0]:nonempty[-1] + 1]
     lead = min_col or 0
     rows = [r[lead:] for r in rows]
     width = max(len(r) for r in rows)
@@ -273,7 +308,7 @@ def read_excel(
     of workbooks use ``read_excel_files``, which parallelizes per file)."""
     with open(path, "rb") as f:
         rows = parse_xlsx(f.read(), sheet)
-    header = [normalize_header(c) for c in rows[header_row - 1]]
+    header = dedupe_headers([normalize_header(c) for c in rows[header_row - 1]])
     body = rows[header_row:]
     return spark.createDataFrame(body or [], schema=" ".join(
         f"`{h}` string," for h in header
@@ -296,14 +331,18 @@ def read_excel_files(
     if first is None:
         raise FileNotFoundError(f"no files match {path_glob}")
     head_rows = parse_xlsx(bytes(first["content"]), sheet)
-    header = [normalize_header(c) for c in head_rows[header_row - 1]]
+    header = dedupe_headers(
+        [normalize_header(c) for c in head_rows[header_row - 1]]
+    )
     schema = ", ".join(f"`{h}` string" for h in header)
 
     def gen(batches):
         for pdf in batches:
             for blob in pdf["content"]:
                 rows = parse_xlsx(bytes(blob), sheet)
-                hdr = [normalize_header(c) for c in rows[header_row - 1]]
+                hdr = dedupe_headers(
+                    [normalize_header(c) for c in rows[header_row - 1]]
+                )
                 if hdr != header:
                     raise ValueError(
                         f"workbook header mismatch: {hdr} != {header}"

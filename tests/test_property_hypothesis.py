@@ -140,7 +140,8 @@ def test_xlsx_round_trip_property(rows, shared):
         return v
 
     # model: writer emits only non-None cells at their A1 refs; reader pads
-    # gaps with "", strips all-empty lead columns, pads rows to used width
+    # gaps with "", strips all-empty lead columns AND lead/trail all-empty
+    # rows (used-range bounding box), pads rows to used width
     raw = []
     for row in rows:
         cells: list[str] = []
@@ -151,6 +152,8 @@ def test_xlsx_round_trip_property(rows, shared):
                 cells.append("")
             cells[ci] = cell_text(v)
         raw.append(cells)
+    nonempty = [ri for ri, r in enumerate(raw) if any(c != "" for c in r)]
+    raw = raw[nonempty[0]:nonempty[-1] + 1]
     lead = min(ci for r in raw for ci, c in enumerate(r) if c != "")
     trimmed = [r[lead:] for r in raw]
     width = max(len(r) for r in trimmed)

@@ -240,6 +240,82 @@ def test_make_xlsx_sheet_name_attribute_escaping():
     assert parse_xlsx(data, name) == [["h"], ["v"]]
 
 
+def _raw_xlsx(sheet_xml_rows: str) -> bytes:
+    """Hand-built minimal workbook whose sheetData is given verbatim —
+    exercises producer shapes our own writer never emits (row-number gaps,
+    missing r attributes)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main">'
+            '<sheets><sheet name="s" sheetId="1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<?xml version="1.0"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main">'
+            f"<sheetData>{sheet_xml_rows}</sheetData></worksheet>",
+        )
+    return buf.getvalue()
+
+
+def _inline_row(r: int | None, *vals: str) -> str:
+    cells = "".join(
+        f'<c r="{chr(ord("A") + i)}{r if r is not None else ""}" '
+        f't="inlineStr"><is><t>{v}</t></is></c>'
+        for i, v in enumerate(vals)
+    )
+    attr = f' r="{r}"' if r is not None else ""
+    return f"<row{attr}>{cells}</row>"
+
+
+def test_parse_xlsx_row_number_gaps():
+    """Excel omits fully-empty rows from sheetData; rows must land at their
+    ``r`` position (gap rows materialize as "" rows inside the used range)
+    or header selection silently shifts.  Leading/trailing all-empty rows
+    are stripped (calamine used-range bounding box)."""
+    from bytefreq_spark.sources.tabular import parse_xlsx
+
+    # rows at r=3 (header), r=5, r=8 — rows 1-2 are OUTSIDE the range
+    # (stripped), row 4 and rows 6-7 are in-range gaps (kept as "")
+    data = _raw_xlsx(
+        _inline_row(3, "h1", "h2")
+        + _inline_row(5, "a", "b")
+        + _inline_row(8, "c", "d")
+    )
+    assert parse_xlsx(data, 0) == [
+        ["h1", "h2"], ["", ""], ["a", "b"], ["", ""], ["", ""], ["c", "d"],
+    ]
+    # rows without r fall back to sequential placement after the last row
+    data2 = _raw_xlsx(_inline_row(1, "x") + _inline_row(None, "y"))
+    assert parse_xlsx(data2, 0) == [["x"], ["y"]]
+
+
+def test_read_excel_duplicate_headers(spark, tmp_path):
+    """Headers normalizing to the same name ("A B" vs "A_B") and empty
+    header cells must yield usable, unique column names — duplicates break
+    every later by-name select with an ambiguous-reference error."""
+    from bytefreq_spark.sources.tabular import read_excel
+
+    p = tmp_path / "dup.xlsx"
+    p.write_bytes(_make_xlsx({"s": [
+        ["A B", "A_B", "", "A_B"],
+        ["1", "2", "3", "4"],
+    ]}))
+    df = read_excel(spark, str(p))
+    assert df.columns == ["A_B", "A_B_2", "col_2", "A_B_3"]
+    assert [tuple(r) for r in df.collect()] == [("1", "2", "3", "4")]
+    # by-name select works (the failure mode this guards against)
+    assert df.select("A_B_2").first()[0] == "2"
+
+
 def test_read_excel_spark(spark, tmp_path):
     """read_excel end-to-end: header normalization + all-string frame."""
     from bytefreq_spark.sources.tabular import read_excel

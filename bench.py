@@ -154,6 +154,33 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         pd_walls.append(time.time() - t0)
     timings["paragraph_dedup"] = round(min(pd_walls), 3)
 
+    # boilerplate-heavy variant: 5 paragraphs per doc, 4 drawn from pools of
+    # 20/7/3/1 templates — 80% of paragraphs are corpus-wide repeats (the C4
+    # shape).  This is where the r5 keep-first rewrite shows: hot paragraphs
+    # hash-aggregate map-side and the shuffle carries 8-byte xxhash64 keys,
+    # not the repeated text
+    boiler_docs = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.concat(F.lit("site footer variant "),
+                     (F.col("doc_id") % 20).cast("string")),
+            F.concat(F.lit("navigation menu home products about contact "),
+                     (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("cookie consent banner accept decline "),
+                     (F.col("doc_id") % 3).cast("string")),
+            F.lit("copyright boilerplate shared by every page"),
+        ).alias("text"),
+    )
+    pb_walls = []
+    for _rep in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _materialize(paragraph_dedup(boiler_docs))
+        pb_walls.append(time.time() - t0)
+    timings["paragraph_dedup_boiler"] = round(min(pb_walls), 3)
+
     # IVF: the one-time index build (k-means train + partitionBy layout
     # write) and the per-query pruned probe read are separate costs — a user
     # pays the first once per corpus, the second per search.
@@ -211,6 +238,27 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timings["quality_filter"] = round(dt, 3)
     timings["_turns"] = n_turns
     timings["_turns_per_sec"] = round(n_turns / dt, 1)
+
+    # one order-of-magnitude scale step for the flagship: the same job on a
+    # 10× corpus (sf1-equivalent, ~1.8M turns at sf0.1's dir).  This row
+    # exists to check LINEARITY — that no superlinear term (freq-dict
+    # growth, broadcast limits, AQE re-plans) hides between scales — so
+    # min-of-3 and the turns/s should land within ~20% of the flagship row
+    sf1_convs = n_convs * 10
+    walls1 = []
+    n_turns1 = 0
+    for _rep in range(3):
+        spark.catalog.clearCache()
+        tr1 = gen_transcripts_spark(spark, sf1_convs).cache()
+        n_turns1 = tr1.count()
+        t0 = time.time()
+        _materialize(quality_filter(tr1, salt_partitions=CPUS * 2))
+        walls1.append(time.time() - t0)
+        tr1.unpersist()
+    dt1 = min(walls1)
+    timings["quality_filter_sf1"] = round(dt1, 3)
+    timings["_sf1_turns"] = n_turns1
+    timings["_sf1_turns_per_sec"] = round(n_turns1 / dt1, 1)
 
     # freq_source strategy comparison (see quality_filter docstring): the
     # dictionary's second-look cost as rescan-input vs persist-featurized
@@ -293,6 +341,8 @@ def run_bench() -> dict:
         "cpus": CPUS,
         "turns": timings.get("_turns"),
         "turns_per_sec": timings.get("_turns_per_sec"),
+        "sf1_turns": timings.get("_sf1_turns"),
+        "sf1_turns_per_sec": timings.get("_sf1_turns_per_sec"),
         "whale_turns": timings.get("_whale_turns"),
         "whale_turns_per_sec": timings.get("_whale_turns_per_sec"),
         "longdoc_turns": timings.get("_longdoc_turns"),
@@ -360,6 +410,35 @@ def run_scaling() -> dict:
         spark.stop()
     speedup = results[n_lo]["wall_sec"] / results[n_hi]["wall_sec"]
     efficiency = round(speedup / (n_hi / n_lo), 3)
+
+    # second, differently-shaped exhibit: the minhash signature+LSH query is
+    # COMPUTE-bound (hash mixing dominates; it reached 98% of the hardware's
+    # own 4→16 ceiling in the kernel-only measurement), so the 4-vs-16 pair
+    # is valid for it even though the bandwidth-bound featurize kernels cap
+    # scaling evidence at 1→4
+    from bytefreq_spark.dedup import minhash_near_dups
+
+    mh_results = {}
+    mh_lo, mh_hi = 4, 16
+    for cores in (mh_lo, mh_hi):
+        spark = get_spark(f"bytefreq-mh-scaling-{cores}", cores=cores,
+                          shuffle_partitions=max(cores, 8))
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _materialize(minhash_near_dups(docs, threshold=0.5))  # warm-up
+        walls = []
+        for _rep in range(3):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            _materialize(minhash_near_dups(docs, threshold=0.5))
+            walls.append(time.time() - t0)
+        mh_results[cores] = {
+            "wall_sec": round(min(walls), 3),
+            "all_runs_sec": [round(w, 3) for w in walls],
+        }
+        spark.stop()
+    mh_speedup = mh_results[mh_lo]["wall_sec"] / mh_results[mh_hi]["wall_sec"]
+    mh_eff = round(mh_speedup / (mh_hi / mh_lo), 3)
+
     out = {
         "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
         "value": efficiency,
@@ -367,6 +446,10 @@ def run_scaling() -> dict:
         f"n{n_lo}": results[n_lo],
         f"n{n_hi}": results[n_hi],
         "speedup": round(speedup, 3),
+        "minhash": {
+            f"n{mh_lo}": mh_results[mh_lo], f"n{mh_hi}": mh_results[mh_hi],
+            "speedup": round(mh_speedup, 3), "efficiency": mh_eff,
+        },
         "sf": sf,
     }
     os.makedirs("BENCH", exist_ok=True)
@@ -396,7 +479,20 @@ def run_scaling() -> dict:
             "brings its own DRAM, so the per-node bandwidth wall does not\n"
             "accumulate across nodes the way it does across local threads.\n\n"
             f"Reference single-node AWK baseline (BASELINE.md): 23.1k rows/s ≈ "
-            f"1.27M field-values/s on one core.\n"
+            f"1.27M field-values/s on one core.\n\n"
+            "## Second exhibit: compute-bound minhash, local[4] → local[16]\n\n"
+            "The minhash signature + LSH near-dup query is COMPUTE-bound\n"
+            "(hash mixing dominates), so the 4-vs-16 pair is within ITS\n"
+            "hardware envelope — a differently-shaped job evidencing the\n"
+            "same N-vs-4N criterion at a second parallelism range:\n\n"
+            "| parallelism | wall sec (min of 3) | runs |\n|---|---|---|\n"
+            f"| local[{mh_lo}] | {mh_results[mh_lo]['wall_sec']} | {mh_results[mh_lo]['all_runs_sec']} |\n"
+            f"| local[{mh_hi}] | {mh_results[mh_hi]['wall_sec']} | {mh_results[mh_hi]['all_runs_sec']} |\n\n"
+            f"Speedup {mh_lo}→{mh_hi}: **{round(mh_speedup, 3)}×**; scaling "
+            f"efficiency (speedup/4): **{mh_eff}**.\n"
+            "(16 logical cores on this host = ~8-16 physical depending on\n"
+            "SMT packing; the kernel-only ceiling for 4→16 threads measured\n"
+            "3.95× for pure-compute loops.)\n"
         )
     return out
 

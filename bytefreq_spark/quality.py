@@ -126,7 +126,19 @@ def text_features(texts: pd.Series) -> pd.DataFrame:
     # rows up to 2M chars; longer rows take the per-class fallback.
     cls = hu_class_codes(rcodes)
     max_len = int(rlens.max()) if len(rlens) else 0
-    if max_len < (1 << 21):
+    if max_len < (1 << 12):
+        # short rows (the typical transcript-turn case): all five classes
+        # fit 12-bit fields of a single int64 — ONE gather + ONE reduce
+        pack = np.zeros(8, dtype=np.int64)
+        for c, shift in ((0, 0), (1, 12), (2, 24), (3, 36), (4, 48)):
+            pack[c] = np.int64(1) << shift
+        s = _rowwise_sum(pack[cls], rstarts, rlens)
+        m12 = (1 << 12) - 1
+        counts = np.stack([
+            s & m12, (s >> 12) & m12, (s >> 24) & m12, (s >> 36) & m12,
+        ])  # a, A, 9, space
+        weird = (s >> 48) & m12
+    elif max_len < (1 << 21):
         pack_a = np.zeros(8, dtype=np.int64)  # cls 0,1,2 -> fields 0,1,2
         pack_b = np.zeros(8, dtype=np.int64)  # cls 3,4   -> fields 0,1
         for c, shift in ((0, 0), (1, 21), (2, 42)):

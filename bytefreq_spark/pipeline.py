@@ -396,9 +396,24 @@ def run_incremental(
     Returns ``(labels_df, n_new_turns)``.
     """
     config = dict(config or {}, version=1, salt=salt_partitions)
-    if snapshot_versions(out_dir, "labels"):
+    labels_v0 = snapshot_versions(out_dir, "labels")
+    if labels_v0:
         old_labels = read_snapshot(spark, out_dir, "labels")
-        existing = old_labels.select("conv_id").distinct()
+        # the anti-join's right side is the THIN conv_index snapshot (one
+        # distinct conv_id column) when a valid one exists — at 10^12 turns
+        # the labels table is wide and huge, and re-scanning + distinct-ing
+        # it on EVERY arriving batch is the dominant ingest cost; the index
+        # is ~avg_turns_per_conv × narrower.  Like the freq dict, it is a
+        # pure CACHE validity-keyed to the labels version it was derived
+        # from: stale or missing → rebuilt from labels, so a crash between
+        # the two commits can never lose or duplicate conversations.  AQE
+        # turns the anti-join into a broadcast join at runtime whenever the
+        # index is small enough.
+        idx_cfg = dict(config, labels_version=labels_v0[-1])
+        if snapshot_valid(out_dir, "conv_index", idx_cfg):
+            existing = read_snapshot(spark, out_dir, "conv_index")
+        else:
+            existing = old_labels.select("conv_id").distinct()
         new = transcripts.join(existing, "conv_id", "left_anti")
     else:
         old_labels, new = None, transcripts
@@ -441,11 +456,15 @@ def run_incremental(
     )
     write_snapshot(combined, out_dir, "labels", config)  # THE commit point
     labels = read_snapshot(spark, out_dir, "labels")
-    # refresh the dictionary cache, keyed to the version just committed
+    # refresh the derived caches, keyed to the version just committed
     new_v = snapshot_versions(out_dir, "labels")[-1]
     write_snapshot(
         labels.groupBy("lu_key").agg(F.count("*").alias("lu_count")),
         out_dir, "freq", dict(config, labels_version=new_v),
+    )
+    write_snapshot(
+        labels.select("conv_id").distinct(),
+        out_dir, "conv_index", dict(config, labels_version=new_v),
     )
     return labels, n_new
 

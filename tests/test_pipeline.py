@@ -548,6 +548,26 @@ def test_run_incremental(spark, tmp_path):
     assert freq_inc3 == freq_full3
     assert "zzzz" not in freq_inc3
 
+    # the thin conv_index cache (the anti-join's right side at scale) is
+    # maintained and equals the committed conversations; a stale/corrupt one
+    # (crash between the labels and index commits) is ignored — the
+    # anti-join falls back to distinct-ing the labels table, so a poisoned
+    # index can never drop or duplicate conversations
+    idx = {r["conv_id"] for r in read_snapshot(spark, out, "conv_index").collect()}
+    assert idx == {r["conv_id"]
+                   for r in abc.select("conv_id").distinct().collect()}
+    poisoned = spark.createDataFrame(
+        [("never-a-conv",)], "conv_id string")
+    write_snapshot(poisoned, out, "conv_index", {"labels_version": -1})
+    abcd = gen_transcripts_spark(spark, 100)
+    lab5, n5 = run_incremental(spark, abcd, out, salt_partitions=8)
+    d_only = abcd.join(abc.select("conv_id").distinct(), "conv_id",
+                       "left_anti")
+    assert n5 == d_only.count() and lab5.count() == abcd.count()
+    idx5 = {r["conv_id"] for r in read_snapshot(spark, out, "conv_index").collect()}
+    assert idx5 == {r["conv_id"]
+                    for r in abcd.select("conv_id").distinct().collect()}
+
 
 def test_incremental_ingest_stream(spark, tmp_path):
     """r4: the 10^12-turn ingest loop as a streaming job — each micro-batch

@@ -121,18 +121,30 @@ def featurize(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
     file) cannot starve the scoring stage — per-turn work is
     order-independent, so this is free correctness-wise.
     """
-    from .scrub import scrub_col
+    from .scrub import _TOX_STEMS, scrub_col
 
     if salt_partitions:
         df = df.repartition(salt_partitions)  # round-robin: breaks any skew
     df = with_mask_key(df)
     # ASCII router for the scrub fast path: char count == UTF-8 byte count
     # ⇔ pure ASCII ⇔ the JVM regex chain is byte-identical to the Python
-    # kernel (scrub.SCRUB_RULES_JAVA).  Non-ASCII/NULL rows stay NULL here
-    # and are scrubbed inside the UDF.  Runs post-salt, so it feeds the
-    # Arrow stage directly with no extra exchange.
-    scrub_pre = F.when(
-        F.length("text") == F.octet_length("text"), scrub_col(F.col("text"))
+    # kernel (scrub.SCRUB_RULES_JAVA).  The JVM side applies the SAME
+    # conservative prefilter the Python kernel uses (every rule needs a
+    # digit/'@' or a toxicity stem — on ASCII rows [0-9] ≡ Python's \d):
+    # clean rows scrub to THEMSELVES, skipping the 7-regex chain entirely
+    # (without this, the JVM path ran the full chain on every ASCII row and
+    # was slower than the prefiltered Python kernel on clean short-turn
+    # corpora).  Non-ASCII/NULL rows stay NULL here and are scrubbed inside
+    # the UDF.  Runs post-salt, so it feeds the Arrow stage directly with
+    # no extra exchange.
+    ascii_ok = F.length("text") == F.octet_length("text")
+    cand = F.col("text").rlike("[0-9@]")
+    lowered = F.lower(F.col("text"))
+    for stem in _TOX_STEMS:
+        cand = cand | lowered.contains(stem)
+    scrub_pre = (
+        F.when(ascii_ok & ~cand, F.col("text"))
+        .when(ascii_ok, scrub_col(F.col("text")))
     )
     return df.withColumn(
         "_f", _featurize_udf()(F.col("text"), scrub_pre)

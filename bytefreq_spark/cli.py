@@ -74,6 +74,25 @@ def main(argv: list[str] | None = None) -> int:
     en.add_argument("--limit", type=int, default=None,
                     help="cap rows for stdout NDJSON")
 
+    ig = sub.add_parser(
+        "ingest",
+        help="incremental ingest: label only conversations not yet in the "
+             "labels snapshot, commit a new snapshot version (S9; batch or "
+             "continuous streaming)",
+    )
+    ig.add_argument("--input", required=True,
+                    help="parquet dir of transcripts (batch) or a watched "
+                         "directory of arriving files (--stream)")
+    ig.add_argument("--snapshot-dir", required=True,
+                    help="snapshot root (labels + freq + conv_index tables)")
+    ig.add_argument("--salt-partitions", type=int, default=None)
+    ig.add_argument("--stream", action="store_true",
+                    help="run as a Structured Streaming job (foreachBatch "
+                         "around the same crash-safe commit); requires "
+                         "--checkpoint-dir")
+    ig.add_argument("--checkpoint-dir", default=None)
+    ig.add_argument("--max-files-per-trigger", type=int, default=None)
+
     dd = sub.add_parser("dedup", help="document deduplication family")
     dd.add_argument("--input", required=True, help="parquet docs table")
     dd.add_argument("--method", default="exact",
@@ -192,6 +211,42 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"output": args.output}))
         else:
             print(render())
+    elif args.cmd == "ingest":
+        if args.stream:
+            if not args.checkpoint_dir:
+                p.error("--stream requires --checkpoint-dir")
+            from .streaming.profile_stream import (
+                incremental_ingest_stream, read_transcript_stream,
+            )
+
+            stream = read_transcript_stream(spark, args.input)
+            if args.max_files_per_trigger:
+                stream = (
+                    spark.readStream.schema(stream.schema)
+                    .option("maxFilesPerTrigger", args.max_files_per_trigger)
+                    .parquet(args.input)
+                )
+            q = incremental_ingest_stream(
+                stream, args.snapshot_dir, args.checkpoint_dir,
+                salt_partitions=args.salt_partitions,
+            ).trigger(availableNow=True).start()
+            q.awaitTermination()
+            from .pipeline import read_snapshot
+
+            n = read_snapshot(spark, args.snapshot_dir, "labels").count()
+            print(json.dumps({"snapshot_dir": args.snapshot_dir,
+                              "labels_rows": n, "mode": "stream"}))
+        else:
+            from .pipeline import run_incremental
+
+            df = spark.read.parquet(args.input)
+            labels, n_new = run_incremental(
+                spark, df, args.snapshot_dir,
+                salt_partitions=args.salt_partitions,
+            )
+            print(json.dumps({"snapshot_dir": args.snapshot_dir,
+                              "labels_rows": labels.count(),
+                              "new_turns": n_new, "mode": "batch"}))
     elif args.cmd == "dedup":
         from .dedup import (
             dedup_exact, minhash_near_dups, paragraph_dedup,

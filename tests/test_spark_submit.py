@@ -54,3 +54,33 @@ def test_spark_submit_pyfiles(tmp_path, spark):
     got = spark.read.parquet(out_dir)
     assert got.count() == n_in
     assert {"keep", "drop_reason", "scrubbed_text"} <= set(got.columns)
+
+
+def test_cli_ingest_batch_idempotent(tmp_path, spark):
+    """CLI face of the incremental ingest (S9): first run labels everything
+    and commits snapshot v1; re-running the same input is a no-op (anti-join
+    against the committed conv index).  Subprocess so the CLI's own
+    SparkSession lifecycle can't disturb the fixture session."""
+    from bytefreq_spark.synth import gen_transcripts_spark
+
+    in_dir = str(tmp_path / "in")
+    snap = str(tmp_path / "snap")
+    gen_transcripts_spark(spark, 20).coalesce(2).write.parquet(in_dir)
+    n_in = spark.read.parquet(in_dir).count()
+
+    def run_cli():
+        proc = subprocess.run(
+            [sys.executable, "-m", "bytefreq_spark.cli", "ingest",
+             "--input", in_dir, "--snapshot-dir", snap,
+             "--salt-partitions", "4"],
+            cwd=REPO, capture_output=True, text=True, timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        return json.loads(
+            [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        )
+
+    first = run_cli()
+    assert first["labels_rows"] == n_in and first["new_turns"] == n_in
+    second = run_cli()
+    assert second["labels_rows"] == n_in and second["new_turns"] == 0

@@ -322,11 +322,48 @@ IVF_PROBES_DIR = f"/tmp/bytefreq_r3_ivf_probes_{os.getpid()}"
 IVF_QUERY_DIR = f"/tmp/bytefreq_r3_ivf_query_{os.getpid()}"
 
 
+LANGID_STAGE_DIR = f"/tmp/bytefreq_r6_langid_{os.getpid()}"
+
+
 def q_langid_docs(spark, sf_dir):
-    from bytefreq_spark.textstats import with_langid
+    """Language-ID over documents, ORACLED since r6 via staged score-matrix
+    replay (the quality_filter pattern, VERDICT_r5's one missing oracle):
+    the per-document feature matrix the classifier decides from — capped
+    char count, ascii flag, per-script char counts, per-language Latin
+    marker scores — is staged to parquet, and DuckDB independently replays
+    the FULL decision cascade (min-chars gate → script-threshold tiers in
+    order → integer-normalized marker argmax with the frozen first-max
+    tie-break) from the staged features; the oracle's row universe comes
+    from the real documents view (a lost document goes red).  The feature
+    kernel itself stays covered by the fast≡naive differential + goldens;
+    feature→decision ≡ detect_language is differential-tested
+    (test_kernel_fastpaths.py::test_langid_feature_replay_equals_detect)."""
+    from bytefreq_spark.langid import (
+        LANGID_FEATURE_COLS, decide_from_features, langid_feature_frame,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    return with_langid(docs).select("doc_id", "lang", "lang_pred")
+    out_cols = ["doc_id", "lang"] + LANGID_FEATURE_COLS + ["lang_pred"]
+    schema = (
+        "doc_id long, lang string, n_chars long, is_ascii boolean, "
+        "zh_cnt long, ru_cnt long, el_cnt long, hi_cnt long, "
+        "en_score long, fr_score long, de_score long, es_score long, "
+        "lang_pred string"
+    )
+
+    def _featurize(batches):
+        for pdf in batches:
+            feats = langid_feature_frame(pdf["text"])
+            feats["lang_pred"] = decide_from_features(feats)
+            feats.insert(0, "lang", pdf["lang"].to_numpy())
+            feats.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield feats[out_cols]
+
+    docs.select("doc_id", "lang", "text").mapInPandas(
+        _featurize, schema
+    ).write.mode("overwrite").parquet(LANGID_STAGE_DIR)
+    staged = spark.read.parquet(LANGID_STAGE_DIR)
+    return staged.select("doc_id", "lang", "lang_pred")
 
 
 def q_minhash_near_dups(spark, sf_dir):
@@ -668,9 +705,12 @@ def q_incremental_ingest_stream(spark, sf_dir):
     commit (anti-join against the committed labels, monoid mask-dict merge,
     manifest-last snapshot commit).  The committed labels snapshot is staged
     flat; DuckDB takes its row universe from the staged INPUT files and
-    left-joins the decision replay over the staged labels — a lost or
-    double-committed batch changes the row set and goes red, and any
-    decision inconsistency in the committed labels goes red."""
+    left-joins the decision replay over the staged labels — a lost batch
+    changes the row set and goes red; a double-committed batch leaves
+    duplicate (conv_id, turn_idx) keys, which the oracle's duplicate-key
+    guard turns into poison rows (a plain join would multiply both sides
+    identically); any decision inconsistency in the committed labels goes
+    red."""
     import glob as _glob
     import shutil
 
@@ -1215,8 +1255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "pairwise_topk": q_pairwise_topk,
         "embedding_near_dups": q_embedding_near_dups,
-        # rows-only (no SQL equivalent; langid is golden-file-frozen,
-        # differential-tested, and real-multilingual-tested in pytest)
         "langid_docs": q_langid_docs,
     }
 
@@ -1277,6 +1315,41 @@ def _decision_case_sql() -> str:
     END"""
 
 
+def _langid_case_sql() -> str:
+    """DuckDB CASE expression replicating ``langid.decide_from_features`` —
+    same tier order, the same integer cross-multiplications and floor
+    divisions, the same first-max-wins argmax — built from the same frozen
+    ``langid`` constants, so the oracle replays the decision layer over the
+    staged feature matrix with zero float-boundary risk.
+
+    The argmax cascade compares each language only against LATER languages
+    in LATIN_ORDER: if an earlier WHEN failed, that language cannot be the
+    (first) max, so the comparisons already performed are implied."""
+    from bytefreq_spark import langid as L
+
+    script_whens = "\n        ".join(
+        f"WHEN NOT is_ascii AND {lang}_cnt * {L.SCRIPT_THRESHOLD_DEN} "
+        f">= n_chars * {L.SCRIPT_THRESHOLD_NUM} THEN '{lang}'"
+        for lang in L.SCRIPT_PATTERNS
+    )
+    norm = {
+        lang: f"(({lang}_score) // greatest(n_chars, 1))"
+        for lang in L.LATIN_ORDER
+    }
+    latin_whens = []
+    for i, lang in enumerate(L.LATIN_ORDER):
+        conds = [f"{norm[lang]} >= {norm[m]}" for m in L.LATIN_ORDER[i + 1:]]
+        conds.append(f"{norm[lang]} > 0")
+        latin_whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    latin = "\n        ".join(latin_whens)
+    return f"""CASE
+        WHEN n_chars < {L.MIN_CHARS} THEN 'und'
+        {script_whens}
+        {latin}
+        ELSE 'und'
+    END"""
+
+
 def _iso3_case_sql(expr: str) -> str:
     """CASE expression replicating the J1 country dimension for the oracle."""
     from bytefreq_spark.rules import COUNTRY_ISO3
@@ -1298,7 +1371,22 @@ def oracle_sql() -> dict[str, str]:
     lu_seg = duckdb_mask_sql("c_mktsegment", "LU")
     lu_cents = duckdb_mask_sql("raw", "LU")
     decision = _decision_case_sql()
+    langid_case = _langid_case_sql()
     return {
+        "langid_docs": f"""
+            WITH s AS (
+              SELECT * FROM read_parquet('{LANGID_STAGE_DIR}/*.parquet')
+            ), j AS (
+              -- row universe from the REAL documents view: a document the
+              -- Spark job lost never reaches the staged features, leaving
+              -- an extra 'und' row here -> row-count/hash red
+              SELECT doc.doc_id AS doc_id, doc.lang AS lang,
+                     s.n_chars, s.is_ascii, s.zh_cnt, s.ru_cnt, s.el_cnt,
+                     s.hi_cnt, s.en_score, s.fr_score, s.de_score, s.es_score
+              FROM documents doc LEFT JOIN s ON doc.doc_id = s.doc_id
+            )
+            SELECT doc_id, lang, {langid_case} AS lang_pred FROM j
+        """,
         "quality_filter_transcripts": f"""
             WITH d AS (
               SELECT *, {decision} AS oracle_reason
@@ -1327,11 +1415,24 @@ def oracle_sql() -> dict[str, str]:
             ), d AS (
               SELECT conv_id, turn_idx, {decision} AS oracle_reason
               FROM read_parquet('{INC_STREAM_DIR}/labels_staged/*.parquet')
+            ), dup AS (
+              -- duplicate-commit guard: a re-committed batch leaves duplicate
+              -- (conv_id, turn_idx) keys in the labels snapshot.  A plain
+              -- LEFT JOIN would multiply BOTH sides by the same factor and
+              -- compare green, so poison rows are emitted per duplicated key
+              -- to force a row-count + hash mismatch
+              SELECT conv_id, turn_idx FROM d
+              GROUP BY 1, 2 HAVING count(*) > 1
             )
             SELECT i.conv_id, i.turn_idx, i.role,
                    (d.oracle_reason IS NULL) AS keep,
                    d.oracle_reason AS drop_reason
             FROM inp i LEFT JOIN d USING (conv_id, turn_idx)
+            UNION ALL
+            SELECT conv_id, turn_idx, 'DUPLICATE_COMMIT' AS role,
+                   CAST(NULL AS BOOLEAN) AS keep,
+                   CAST(NULL AS VARCHAR) AS drop_reason
+            FROM dup
         """,
         "mask_freq_lu": f"""
             SELECT 'o_orderpriority' AS "column", {lu_op} AS pattern,

@@ -89,9 +89,16 @@ def main(argv: list[str] | None = None) -> int:
     ig.add_argument("--stream", action="store_true",
                     help="run as a Structured Streaming job (foreachBatch "
                          "around the same crash-safe commit); requires "
-                         "--checkpoint-dir")
+                         "--checkpoint-dir.  Default trigger drains the "
+                         "currently-available files and exits (availableNow); "
+                         "pass --trigger-interval for a long-running job")
     ig.add_argument("--checkpoint-dir", default=None)
     ig.add_argument("--max-files-per-trigger", type=int, default=None)
+    ig.add_argument("--trigger-interval", type=int, default=None, metavar="SECONDS",
+                    help="continuous mode: poll the watched directory every "
+                         "SECONDS with a processing-time trigger and keep "
+                         "running until stopped (default: availableNow — "
+                         "drain what is there, commit, exit)")
 
     dd = sub.add_parser("dedup", help="document deduplication family")
     dd.add_argument("--input", required=True, help="parquet docs table")
@@ -226,10 +233,19 @@ def main(argv: list[str] | None = None) -> int:
                     .option("maxFilesPerTrigger", args.max_files_per_trigger)
                     .parquet(args.input)
                 )
-            q = incremental_ingest_stream(
+            writer = incremental_ingest_stream(
                 stream, args.snapshot_dir, args.checkpoint_dir,
                 salt_partitions=args.salt_partitions,
-            ).trigger(availableNow=True).start()
+            )
+            if args.trigger_interval:
+                # long-running: poll for new files on a processing-time
+                # trigger until the query is stopped externally
+                writer = writer.trigger(
+                    processingTime=f"{args.trigger_interval} seconds")
+            else:
+                # drain currently-available input, commit, exit
+                writer = writer.trigger(availableNow=True)
+            q = writer.start()
             q.awaitTermination()
             from .pipeline import read_snapshot
 

@@ -129,6 +129,77 @@ def detect_language(texts: pd.Series) -> pd.Series:
     return pd.Series(out, index=texts.index, dtype=object)
 
 
+LANGID_FEATURE_COLS = (
+    ["n_chars", "is_ascii"]
+    + [f"{lang}_cnt" for lang in SCRIPT_PATTERNS]
+    + [f"{lang}_score" for lang in LATIN_ORDER]
+)
+
+
+def langid_feature_frame(texts: pd.Series) -> pd.DataFrame:
+    """Per-row feature matrix from which the langid decision is a pure
+    replay: capped char count, ascii flag, per-script char counts (0 for
+    pure-ASCII rows — script characters are non-ASCII by construction),
+    raw ×1000 Latin marker scores for every row.
+
+    ``decide_from_features(langid_feature_frame(t)) == detect_language(t)``
+    is differential-tested; the split exists so the decision layer can be
+    replayed by an independent SQL engine over staged features (the
+    ``langid_docs`` oracle)."""
+    t = texts.fillna("").str.slice(0, CAP_CHARS)
+    n = len(t)
+    n_chars = t.str.len().to_numpy(dtype=np.int64)
+    ascii_mask = (
+        t.map(str.isascii).to_numpy(dtype=bool)
+        if n else np.zeros(0, dtype=bool)
+    )
+    feats: dict[str, np.ndarray] = {"n_chars": n_chars, "is_ascii": ascii_mask}
+    nonascii_idx = np.flatnonzero(~ascii_mask)
+    sub = t.iloc[nonascii_idx]
+    for lang, pat in SCRIPT_PATTERNS.items():
+        cnt = np.zeros(n, dtype=np.int64)
+        if len(nonascii_idx):
+            cnt[nonascii_idx] = sub.str.count(pat).to_numpy(dtype=np.int64)
+        feats[f"{lang}_cnt"] = cnt
+    scores = (
+        _latin_scores(t) if n
+        else np.zeros((len(LATIN_ORDER), 0), dtype=np.int64)
+    )
+    for i, lang in enumerate(LATIN_ORDER):
+        feats[f"{lang}_score"] = scores[i]
+    return pd.DataFrame(feats, index=texts.index)[LANGID_FEATURE_COLS]
+
+
+def decide_from_features(feats: pd.DataFrame) -> pd.Series:
+    """The langid decision layer alone, over a ``langid_feature_frame``:
+    min-chars gate → script-threshold cascade in tier order → integer-
+    normalized marker argmax (first max wins = LATIN_ORDER tie-break).
+    Matches ``detect_language`` exactly (differential-tested); the SQL
+    oracle replays this same cascade in DuckDB."""
+    n = len(feats)
+    n_chars = feats["n_chars"].to_numpy(dtype=np.int64)
+    out = np.full(n, "und", dtype=object)
+    decided = n_chars < MIN_CHARS
+    nonascii = ~feats["is_ascii"].to_numpy(dtype=bool)
+    for lang in SCRIPT_PATTERNS:
+        cnt = feats[f"{lang}_cnt"].to_numpy(dtype=np.int64)
+        fire = (~decided) & nonascii & (
+            cnt * SCRIPT_THRESHOLD_DEN >= n_chars * SCRIPT_THRESHOLD_NUM
+        )
+        out[fire] = lang
+        decided |= fire
+    scores = np.stack(
+        [feats[f"{lang}_score"].to_numpy(dtype=np.int64)
+         for lang in LATIN_ORDER]
+    ) if n else np.zeros((len(LATIN_ORDER), 0), dtype=np.int64)
+    norm = scores // np.maximum(n_chars, 1)
+    best = np.argmax(norm, axis=0)
+    best_score = norm[best, np.arange(n)]
+    latin = (~decided) & (best_score > 0)
+    out[latin] = np.array(LATIN_ORDER, dtype=object)[best[latin]]
+    return pd.Series(out, index=feats.index, dtype=object)
+
+
 def detect_language_naive(texts: pd.Series) -> pd.Series:
     """Original regex-scan formulation (4 script counts + 4 marker
     alternation counts over every row).  Kept as the differential-test

@@ -28,13 +28,18 @@ def dedupe_headers(headers: list[str]) -> list[str]:
     (normalization can collide — "A B" and "A_B" both normalize to "A_B" —
     and a duplicate/empty name breaks every later by-name select with an
     ambiguous-reference error)."""
-    seen: dict[str, int] = {}
+    used: set[str] = set()
     out = []
     for i, h in enumerate(headers):
         h = h or f"col_{i}"
-        n = seen.get(h, 0) + 1
-        seen[h] = n
-        out.append(h if n == 1 else f"{h}_{n}")
+        # track EMITTED names, not input names: a literal header can collide
+        # with a generated suffix (["a", "a", "a_2"] must not re-emit "a_2")
+        cand, n = h, 1
+        while cand in used:
+            n += 1
+            cand = f"{h}_{n}"
+        used.add(cand)
+        out.append(cand)
     return out
 
 

@@ -1,8 +1,10 @@
-"""Frozen-expectation (golden) tests for the two most important rows-only
-driver surfaces: langid and the full quality filter.  No SQL oracle exists
-for these, so the goldens freeze the behavior instead: any semantic drift in
-the kernels (langid tiers, scrub rules, decision order, mask entropy,
-dup detection) shows up as a value diff here, not just a row-count change.
+"""Frozen-expectation (golden) tests for the two kernel-heaviest driver
+surfaces: langid and the full quality filter.  Both now have staged-artifact
+DuckDB oracles (decision-layer replay over staged features, since r5/r6),
+but the feature KERNELS themselves are not SQL-expressible — the goldens
+freeze their behavior: any semantic drift in the kernels (langid tiers,
+scrub rules, decision order, mask entropy, dup detection) shows up as a
+value diff here, not just a row-count change.
 
 Regenerate deliberately (after an intended semantic change) with:
     python scripts/make_goldens.py

@@ -78,6 +78,26 @@ def test_langid_fast_equals_naive():
     assert detect_language(s).equals(detect_language_naive(s))
 
 
+def test_langid_feature_replay_equals_detect():
+    """feature-frame → decision replay must equal the fused classifier on
+    the adversarial corpus — this differential is what lets the langid_docs
+    oracle replay only the decision layer (from staged features) in DuckDB
+    while the feature kernel stays pytest-covered."""
+    from bytefreq_spark.langid import (
+        LANGID_FEATURE_COLS, decide_from_features, langid_feature_frame,
+    )
+
+    s = _series()
+    feats = langid_feature_frame(s)
+    assert list(feats.columns) == LANGID_FEATURE_COLS
+    assert decide_from_features(feats).equals(detect_language(s))
+    # empty-series shape safety (a mapInPandas batch can be empty)
+    empty = pd.Series([], dtype=object)
+    ef = langid_feature_frame(empty)
+    assert len(ef) == 0 and list(ef.columns) == LANGID_FEATURE_COLS
+    assert len(decide_from_features(ef)) == 0
+
+
 def test_scrub_native_matches_python(spark):
     """The JVM regexp_replace scrub chain (scrub_col) must be BYTE-IDENTICAL
     to the Python kernel on every pure-ASCII input — the dialect-equivalence

@@ -316,6 +316,22 @@ def test_read_excel_duplicate_headers(spark, tmp_path):
     assert df.select("A_B_2").first()[0] == "2"
 
 
+def test_dedupe_headers_suffix_collision():
+    """A literal header colliding with a generated suffix must not re-emit
+    the same name: ["a", "a", "a_2"] naively yields ["a", "a_2", "a_2"] —
+    the exact ambiguity dedupe_headers exists to prevent."""
+    from bytefreq_spark.sources.tabular import dedupe_headers
+
+    out = dedupe_headers(["a", "a", "a_2"])
+    assert len(set(out)) == 3 and out[0] == "a"
+    # generated names must also never collide with LATER literal headers
+    out2 = dedupe_headers(["a", "a", "a", "a_2", "a_3"])
+    assert len(set(out2)) == 5
+    # empty-cell fallback stays collision-free too
+    out3 = dedupe_headers(["col_0", ""])
+    assert len(set(out3)) == 2
+
+
 def test_read_excel_spark(spark, tmp_path):
     """read_excel end-to-end: header normalization + all-string frame."""
     from bytefreq_spark.sources.tabular import read_excel

@@ -1,17 +1,34 @@
 """Bench harness — headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
+Credibility design (r6, after VERDICT_r5 flagged the harness as the least
+defensible artifact in the repo):
+
+* **All synthetic corpora are generated and PERSISTED to parquet before the
+  first timed query** — corpus generation is heavy (mapInPandas over every
+  conversation) and, when interleaved with timed rows, self-heats the host
+  so later rows measure the harness's own noise.  Re-establishing an input
+  between reps is now a parquet re-read (+cache), not a regeneration.
+* **Per-query loadavg snapshots** (the ``loadavg`` dict in the output): one
+  loadavg pair around a multi-minute sweep cannot adjudicate per-query
+  noise; a reader can now see exactly which rows ran under external load.
+* **Heavy rows run LAST** (flagship → persist → whale → longdocs → the sf1
+  block), so their heat cannot contaminate the cheap JVM-native rows that
+  r5's sweep showed as phantom 18-84% "regressions".
+
 ``--scaling`` additionally runs the flagship quality-filter job at two
-parallelism levels (local[8] vs local[32]) on identical input and reports
-throughput + scaling efficiency into BENCH/BASELINE.md (the sandbox evidence
-for the north rule's two-cluster-size criterion).
+parallelism levels on identical input and reports throughput + scaling
+efficiency into BENCH/BASELINE.md (the sandbox evidence for the north
+rule's two-cluster-size criterion).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 import pandas as pd
@@ -34,30 +51,90 @@ def _materialize(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def _prepare_corpora(spark, sf: float, root: str) -> dict[str, dict]:
+    """Generate every synthetic transcript corpus ONCE, before any timing,
+    and persist each to parquet.  Returns name -> {path, turns}.  Timed reps
+    re-establish an input with a cheap parquet read + cache instead of a
+    full regeneration (the r5 harness regenerated the 1.86M-turn corpus
+    inside the sweep — heat that contaminated unrelated rows)."""
+    from bytefreq_spark.synth import gen_transcripts_spark
+
+    n_convs = max(int(sf * 100000), 200)
+    specs = {
+        # flagship: 10k convs/sf0.1 ≈ 190k turns — big enough that
+        # steady-state kernel throughput dominates fixed overhead
+        "flagship": dict(n=n_convs, kw={}),
+        # one order-of-magnitude scale step (linearity check)
+        "sf1": dict(n=n_convs * 10, kw={}),
+        # whale-skew stress: ONE 10^5-turn conversation among 2000 tiny ones
+        "whale": dict(n=2000, kw=dict(skew_every=2000, skew_len=100_000)),
+        # whale at sf1 ambient (VERDICT_r5 ask): the same 10^5-turn whale
+        # hiding in the 10x corpus — skew handling must not degrade when
+        # the surrounding shuffle is 10x wider
+        "whale_sf1": dict(
+            n=n_convs * 10,
+            kw=dict(skew_every=n_convs * 10, skew_len=100_000),
+        ),
+        # long documents: 10-50 KB texts; MB/s is the honest unit here
+        "longdocs": dict(
+            n=max(int(sf * 4000), 50), kw=dict(skew_every=0,
+                                               doc_words=(1700, 8500)),
+        ),
+    }
+    out: dict[str, dict] = {}
+    for name, spec in specs.items():
+        path = os.path.join(root, name)
+        df = gen_transcripts_spark(spark, spec["n"], partitions=CPUS,
+                                   **spec["kw"])
+        df.write.mode("overwrite").parquet(path)
+        out[name] = {"path": path}
+    # row counts from parquet metadata (cheap, still untimed)
+    for name in out:
+        out[name]["turns"] = spark.read.parquet(out[name]["path"]).count()
+    return out
+
+
+def _cached(spark, path: str):
+    """Parquet read + cache + materialize — the untimed input re-establish
+    used between reps (clearCache drops everything, including the input)."""
+    df = spark.read.parquet(path).cache()
+    df.count()
+    return df
+
+
+def bench_queries(spark, sf_dir: str, corpus_root: str):
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry
 
-    from bytefreq_spark.dedup import minhash_near_dups
+    from bytefreq_spark.dedup import minhash_near_dups, paragraph_dedup
     from bytefreq_spark.pipeline import quality_filter
     from bytefreq_spark.profile import char_histogram, dq_report
-    from bytefreq_spark.synth import gen_transcripts_spark
 
     timings: dict[str, float] = {}
+    # loadavg_1m snapshot taken immediately before each query's first rep —
+    # the per-query noise context VERDICT_r5 asked for (a single pair around
+    # the whole sweep cannot attribute a slow row to external load)
+    loads: dict[str, float] = {}
 
     # min-of-2 even for the cheap rows: this host has external noisy
     # neighbors (loadavg 16 with zero local consumers observed) that can
-    # triple a single run; r3's "broad shallow regressions" on single-shot
-    # rows were exactly this noise
-    def run(name, thunk, reps: int = 2):
+    # triple a single run
+    def run(name, thunk, reps: int = 2, clear_cache: bool = False,
+            restore=None):
+        loads[name] = round(os.getloadavg()[0], 2)
         walls = []
         for _rep in range(reps):
+            if clear_cache:
+                spark.catalog.clearCache()
+                if restore is not None:
+                    restore()
             t0 = time.time()
             thunk()
             walls.append(time.time() - t0)
         timings[name] = round(min(walls), 3)
 
+    # ---- untimed prepare phase -------------------------------------------
     # session warm-up: JVM codegen + spawn the python worker pool once
     @F.pandas_udf("double")
     def _warm(s: pd.Series) -> pd.Series:
@@ -67,9 +144,15 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         F.sum(_warm(F.col("id").cast("double")))
     ).collect()
 
+    sf = _sf_from_dir(sf_dir)
+    t_prep = time.time()
+    corpora = _prepare_corpora(spark, sf, corpus_root)
+    timings["_prepare_sec"] = round(time.time() - t_prep, 3)
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+    # ---- light JVM-native rows (first: coldest ambient) ------------------
     run("profile_events_lu", lambda: _materialize(
         dq_report(ev, ["event_type", "props", "value"], "LU")))
     run("profile_documents_hu", lambda: _materialize(
@@ -101,24 +184,19 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     run("q1_pricing_double", lambda: _materialize(_q1_double()))
     run("revenue_join", lambda: _materialize(entry.q_revenue_by_segment(spark, sf_dir)))
     run("window_topk", lambda: _materialize(entry.q_top_orders_window(spark, sf_dir)))
+    run("token_stats", lambda: _materialize(entry.q_token_stats(spark, sf_dir)))
+
+    # ---- dedup / similarity family ---------------------------------------
     # min-of-2 with a cache clear between (minhash caches its signature
     # table internally — without clearCache a repeat run measures a cache
     # read, not the kernel)
-    mh_walls = []
-    for _rep in range(2):
-        spark.catalog.clearCache()
-        t0 = time.time()
-        _materialize(minhash_near_dups(docs, threshold=0.5))
-        mh_walls.append(time.time() - t0)
-    timings["minhash_near_dups"] = round(min(mh_walls), 3)
-    run("token_stats", lambda: _materialize(entry.q_token_stats(spark, sf_dir)))
+    run("minhash_near_dups",
+        lambda: _materialize(minhash_near_dups(docs, threshold=0.5)),
+        clear_cache=True)
 
-    # --- scale-path ANN rows (r4): the search queries a 100 TB user actually
-    # waits on, previously correctness-only.  embedding_near_dups: corpus-wide
-    # banded-LSH self-join + exact cosine rescore over the sf embeddings
-    # unioned with a shifted copy of itself (guaranteed near-dup pairs, 2x
-    # corpus).  min-of-2 with cache clears (signature staging could otherwise
-    # be served from CacheManager).
+    # scale-path ANN rows (r4): embedding_near_dups = corpus-wide banded-LSH
+    # self-join + exact cosine rescore over the sf embeddings unioned with a
+    # shifted copy of itself (guaranteed near-dup pairs, 2x corpus)
     from bytefreq_spark.similarity import (
         embedding_near_dup_pairs, ivf_topk_partitioned,
         ivf_train_centroids, ivf_write_partitioned,
@@ -128,31 +206,21 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     dim = len(emb.select("embedding").head(1)[0][0])
     both = emb.union(
         emb.withColumn("vec_id", F.col("vec_id") + 10_000_000))
-    nd_walls = []
-    for _rep in range(2):
-        spark.catalog.clearCache()
-        t0 = time.time()
-        _materialize(embedding_near_dup_pairs(both, threshold=0.99, dim=dim))
-        nd_walls.append(time.time() - t0)
-    timings["embedding_near_dups"] = round(min(nd_walls), 3)
+    run("embedding_near_dups",
+        lambda: _materialize(
+            embedding_near_dup_pairs(both, threshold=0.99, dim=dim)),
+        clear_cache=True)
 
     # paragraph dedup over the documents corpus, paragraphized
     # deterministically (the synthetic docs are single-paragraph word salad;
     # breaking on a common word yields realistic paragraph counts with heavy
     # cross-document duplication — exactly the C4 shape the operator targets)
-    from bytefreq_spark.dedup import paragraph_dedup
-
     para_docs = docs.select(
         "doc_id",
         F.regexp_replace("text", " table ", "\n\n").alias("text"),
     )
-    pd_walls = []
-    for _rep in range(2):
-        spark.catalog.clearCache()
-        t0 = time.time()
-        _materialize(paragraph_dedup(para_docs))
-        pd_walls.append(time.time() - t0)
-    timings["paragraph_dedup"] = round(min(pd_walls), 3)
+    run("paragraph_dedup",
+        lambda: _materialize(paragraph_dedup(para_docs)), clear_cache=True)
 
     # boilerplate-heavy variant: 5 paragraphs per doc, 4 drawn from pools of
     # 20/7/3/1 templates — 80% of paragraphs are corpus-wide repeats (the C4
@@ -173,152 +241,152 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             F.lit("copyright boilerplate shared by every page"),
         ).alias("text"),
     )
-    pb_walls = []
-    for _rep in range(2):
-        spark.catalog.clearCache()
-        t0 = time.time()
-        _materialize(paragraph_dedup(boiler_docs))
-        pb_walls.append(time.time() - t0)
-    timings["paragraph_dedup_boiler"] = round(min(pb_walls), 3)
+    run("paragraph_dedup_boiler",
+        lambda: _materialize(paragraph_dedup(boiler_docs)), clear_cache=True)
 
     # IVF: the one-time index build (k-means train + partitionBy layout
     # write) and the per-query pruned probe read are separate costs — a user
     # pays the first once per corpus, the second per search.
-    import shutil
-    import tempfile
-
     ivf_dir = tempfile.mkdtemp(prefix="bytefreq_bench_ivf_")
     try:
         qvec = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+        loads["ivf_build_partitioned"] = round(os.getloadavg()[0], 2)
         t0 = time.time()
         cents = ivf_train_centroids(emb, n_centroids=8)
         ivf_write_partitioned(emb, cents, ivf_dir)
         timings["ivf_build_partitioned"] = round(time.time() - t0, 3)
-        probe_walls = []
-        for _rep in range(3):
-            t0 = time.time()
-            _materialize(ivf_topk_partitioned(
-                spark, ivf_dir, qvec, cents, k=10, n_probe=3))
-            probe_walls.append(time.time() - t0)
-        timings["ivf_partitioned_topk"] = round(min(probe_walls), 3)
+        run("ivf_partitioned_topk",
+            lambda: _materialize(ivf_topk_partitioned(
+                spark, ivf_dir, qvec, cents, k=10, n_probe=3)), reps=3)
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
 
-    # flagship: quality filter over synthetic transcripts scaled to the SF.
-    # 10k convs/sf0.1 ≈ 190k turns: big enough that steady-state kernel
-    # throughput dominates fixed scheduling/Arrow overhead at 32 cores
-    # (the round-1 2k-conv corpus measured session overhead, not the engine)
-    sf = _sf_from_dir(sf_dir)
-    n_convs = max(int(sf * 100000), 200)
-    tr = gen_transcripts_spark(spark, n_convs).cache()
-    n_turns = tr.count()
-    # warm-up: python-worker spawn + numpy/pandas import + JVM codegen are
-    # fixed costs irrelevant to steady-state throughput at scale
-    _materialize(quality_filter(tr, salt_partitions=CPUS * 2))
-    # CacheManager would serve the measured run from the warm-up's internal
-    # persist (plan-identical fragments) — clear it, re-cache only the input
-    spark.catalog.clearCache()
-    tr = gen_transcripts_spark(spark, n_convs).cache()
-    tr.count()
-    # min-of-5: (a) external noisy neighbors (observed load >14 with zero
-    # local CPU consumers) can triple a single run; (b) the JVM's C2 JIT
-    # keeps improving the wide codegen'd pipeline through ~4 executions
-    # (measured: 6.4 -> 6.7 -> 4.8 -> 3.8 s across reps at RISING load), so
-    # a min-of-3 still measures a part-interpreted plan
-    walls = []
-    for _rep in range(5):
-        if _rep:
-            spark.catalog.clearCache()
-            tr = gen_transcripts_spark(spark, n_convs).cache()
-            tr.count()
-        t0 = time.time()
-        _materialize(quality_filter(tr, salt_partitions=CPUS * 2))
-        walls.append(time.time() - t0)
-    dt = min(walls)
-    timings["quality_filter"] = round(dt, 3)
-    timings["_turns"] = n_turns
-    timings["_turns_per_sec"] = round(n_turns / dt, 1)
+    # ---- quality-filter family (pre-staged corpora) ----------------------
+    # flagship: min-of-5 — (a) external noisy neighbors can triple a single
+    # run; (b) the JVM's C2 JIT keeps improving the wide codegen'd pipeline
+    # through ~4 executions (measured: 6.4 -> 6.7 -> 4.8 -> 3.8 s across
+    # reps at RISING load), so a min-of-3 still measures a part-interpreted
+    # plan.  CacheManager would serve a repeat run from the previous run's
+    # internal persist (plan-identical fragments) — clear + re-cache the
+    # input between reps (a cheap parquet re-read now, not a regeneration).
+    state = {"tr": _cached(spark, corpora["flagship"]["path"])}
+    _materialize(quality_filter(state["tr"], salt_partitions=CPUS * 2))  # warm-up
 
-    # one order-of-magnitude scale step for the flagship: the same job on a
-    # 10× corpus (sf1-equivalent, ~1.8M turns at sf0.1's dir).  This row
-    # exists to check LINEARITY — that no superlinear term (freq-dict
-    # growth, broadcast limits, AQE re-plans) hides between scales — so
-    # min-of-3 and the turns/s should land within ~20% of the flagship row
-    sf1_convs = n_convs * 10
-    walls1 = []
-    n_turns1 = 0
-    for _rep in range(3):
-        spark.catalog.clearCache()
-        tr1 = gen_transcripts_spark(spark, sf1_convs).cache()
-        n_turns1 = tr1.count()
-        t0 = time.time()
-        _materialize(quality_filter(tr1, salt_partitions=CPUS * 2))
-        walls1.append(time.time() - t0)
-        tr1.unpersist()
-    dt1 = min(walls1)
-    timings["quality_filter_sf1"] = round(dt1, 3)
-    timings["_sf1_turns"] = n_turns1
-    timings["_sf1_turns_per_sec"] = round(n_turns1 / dt1, 1)
+    def _restore_flagship():
+        state["tr"] = _cached(spark, corpora["flagship"]["path"])
+
+    run("quality_filter",
+        lambda: _materialize(
+            quality_filter(state["tr"], salt_partitions=CPUS * 2)),
+        reps=5, clear_cache=True, restore=_restore_flagship)
+    n_turns = corpora["flagship"]["turns"]
+    timings["_turns"] = n_turns
+    timings["_turns_per_sec"] = round(n_turns / timings["quality_filter"], 1)
 
     # freq_source strategy comparison (see quality_filter docstring): the
     # dictionary's second-look cost as rescan-input vs persist-featurized
-    spark.catalog.clearCache()
-    tr = gen_transcripts_spark(spark, n_convs).cache()
-    tr.count()
-    t0 = time.time()
-    _materialize(quality_filter(tr, salt_partitions=CPUS * 2,
-                                freq_source="persist"))
-    timings["quality_filter_persist"] = round(time.time() - t0, 3)
-    tr.unpersist()
+    run("quality_filter_persist",
+        lambda: _materialize(quality_filter(
+            state["tr"], salt_partitions=CPUS * 2, freq_source="persist")),
+        clear_cache=True, restore=_restore_flagship)
+    state["tr"].unpersist()
 
-    # whale-skew stress (the north rule's skew claim): ONE 10^5-turn
-    # conversation among 2000 tiny ones.  Salted featurize + composite-key
-    # layout keep it moving; correctness at this shape is asserted in
+    # whale-skew stress (the north rule's skew claim): salted featurize +
+    # composite-key layout keep the 10^5-turn conversation moving;
+    # correctness at this shape is asserted in
     # test_whale_conversation_stress — this row records the wall cost.
-    spark.catalog.clearCache()
-    whale = gen_transcripts_spark(spark, 2000, skew_every=2000,
-                                  skew_len=100_000).cache()
-    n_whale = whale.count()
-    whale_walls = []
-    for _rep in range(2):  # min-of-2: single runs are noisy on this host
-        t0 = time.time()
-        _materialize(quality_filter(whale, salt_partitions=CPUS * 2,
-                                    dict_salt_partitions=CPUS * 2))
-        whale_walls.append(time.time() - t0)
-    dtw = min(whale_walls)
-    timings["quality_filter_whale"] = round(dtw, 3)
+    wstate = {"df": _cached(spark, corpora["whale"]["path"])}
+
+    def _restore_whale():
+        wstate["df"] = _cached(spark, corpora["whale"]["path"])
+
+    run("quality_filter_whale",
+        lambda: _materialize(quality_filter(
+            wstate["df"], salt_partitions=CPUS * 2,
+            dict_salt_partitions=CPUS * 2)),
+        clear_cache=True, restore=_restore_whale)
+    n_whale = corpora["whale"]["turns"]
     timings["_whale_turns"] = n_whale
-    timings["_whale_turns_per_sec"] = round(n_whale / dtw, 1)
-    whale.unpersist()
+    timings["_whale_turns_per_sec"] = round(
+        n_whale / timings["quality_filter_whale"], 1)
+    wstate["df"].unpersist()
 
     # long-document corpus (r4): 10-50 KB texts — mask/scrub/langid measured
-    # at the lengths the BPE/LSH paths were tuned for.  Here MB/s is the
-    # honest unit (turns/s rewards short rows); reported alongside.
-    spark.catalog.clearCache()
-    ld = gen_transcripts_spark(
-        spark, max(int(sf * 4000), 50), skew_every=0, doc_words=(1700, 8500)
-    ).cache()
-    n_ld = ld.count()
-    ld_mb = ld.select(F.sum(F.length("text"))).first()[0] / 1e6
-    ld_walls = []
-    for _rep in range(2):
-        if _rep:
-            spark.catalog.clearCache()
-            ld = gen_transcripts_spark(
-                spark, max(int(sf * 4000), 50), skew_every=0,
-                doc_words=(1700, 8500),
-            ).cache()
-            ld.count()
-        t0 = time.time()
-        _materialize(quality_filter(ld, salt_partitions=CPUS * 2))
-        ld_walls.append(time.time() - t0)
-    dtl = min(ld_walls)
-    timings["quality_filter_longdocs"] = round(dtl, 3)
-    timings["_longdoc_turns"] = n_ld
+    # at the lengths the BPE/LSH paths were tuned for.  MB/s is the honest
+    # unit (turns/s rewards short rows).
+    lstate = {"df": _cached(spark, corpora["longdocs"]["path"])}
+    ld_mb = lstate["df"].select(F.sum(F.length("text"))).first()[0] / 1e6
+
+    def _restore_longdocs():
+        lstate["df"] = _cached(spark, corpora["longdocs"]["path"])
+
+    run("quality_filter_longdocs",
+        lambda: _materialize(quality_filter(
+            lstate["df"], salt_partitions=CPUS * 2)),
+        clear_cache=True, restore=_restore_longdocs)
+    timings["_longdoc_turns"] = corpora["longdocs"]["turns"]
     timings["_longdoc_mb"] = round(ld_mb, 1)
-    timings["_longdoc_mb_per_sec"] = round(ld_mb / dtl, 1)
-    ld.unpersist()
-    return timings
+    timings["_longdoc_mb_per_sec"] = round(
+        ld_mb / timings["quality_filter_longdocs"], 1)
+    lstate["df"].unpersist()
+
+    # ---- sf1 block (heaviest rows LAST — their heat cannot contaminate
+    # the rows above) ------------------------------------------------------
+    # one order-of-magnitude scale step for the flagship: the same job on a
+    # 10× corpus.  This row exists to check LINEARITY — that no superlinear
+    # term (freq-dict growth, broadcast limits, AQE re-plans) hides between
+    # scales — so the turns/s should land within ~20% of the flagship row
+    s1 = {"df": _cached(spark, corpora["sf1"]["path"])}
+
+    def _restore_sf1():
+        s1["df"] = _cached(spark, corpora["sf1"]["path"])
+
+    run("quality_filter_sf1",
+        lambda: _materialize(quality_filter(
+            s1["df"], salt_partitions=CPUS * 2)),
+        reps=3, clear_cache=True, restore=_restore_sf1)
+    n1 = corpora["sf1"]["turns"]
+    timings["_sf1_turns"] = n1
+    timings["_sf1_turns_per_sec"] = round(n1 / timings["quality_filter_sf1"], 1)
+    s1["df"].unpersist()
+
+    # whale at sf1 ambient (VERDICT_r5 ask): the same 10^5-turn whale inside
+    # the 10x corpus — the salt/composite-key skew handling must hold when
+    # the surrounding shuffle is 10x wider, not just in a toy corpus
+    ws1 = {"df": _cached(spark, corpora["whale_sf1"]["path"])}
+
+    def _restore_whale_sf1():
+        ws1["df"] = _cached(spark, corpora["whale_sf1"]["path"])
+
+    run("quality_filter_whale_sf1",
+        lambda: _materialize(quality_filter(
+            ws1["df"], salt_partitions=CPUS * 2,
+            dict_salt_partitions=CPUS * 2)),
+        clear_cache=True, restore=_restore_whale_sf1)
+    nws1 = corpora["whale_sf1"]["turns"]
+    timings["_whale_sf1_turns"] = nws1
+    timings["_whale_sf1_turns_per_sec"] = round(
+        nws1 / timings["quality_filter_whale_sf1"], 1)
+    ws1["df"].unpersist()
+
+    # dedup family at sf1 scale (VERDICT_r5 ask): 10x the documents corpus
+    # via shifted-id unions — candidate generation must stay banded/bucketed
+    # (no all-pairs term) an order of magnitude up
+    docs10 = docs
+    for k in range(1, 10):
+        docs10 = docs10.union(docs.withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000 * k))
+    para10 = docs10.select(
+        "doc_id",
+        F.regexp_replace("text", " table ", "\n\n").alias("text"),
+    )
+    run("paragraph_dedup_sf1",
+        lambda: _materialize(paragraph_dedup(para10)), clear_cache=True)
+    run("minhash_near_dups_sf1",
+        lambda: _materialize(minhash_near_dups(docs10, threshold=0.5)),
+        clear_cache=True)
+
+    return timings, loads
 
 
 def run_bench() -> dict:
@@ -326,8 +394,12 @@ def run_bench() -> dict:
 
     load_before = os.getloadavg()
     spark = get_spark("bytefreq-bench", cores=CPUS, shuffle_partitions=max(CPUS, 16))
+    corpus_root = tempfile.mkdtemp(prefix="bytefreq_bench_corpora_")
     t0 = time.time()
-    timings = bench_queries(spark, SF_DIR)
+    try:
+        timings, loads = bench_queries(spark, SF_DIR, corpus_root)
+    finally:
+        shutil.rmtree(corpus_root, ignore_errors=True)
     total = round(time.time() - t0, 3)
     spark.stop()
     load_after = os.getloadavg()
@@ -337,6 +409,12 @@ def run_bench() -> dict:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        # per-query loadavg_1m snapshot taken right before each row's first
+        # rep — attribute a slow row to external load without guessing
+        "loadavg": loads,
+        # untimed corpus generation+persist (included in `value`'s wall):
+        # subtract for the pure query sweep
+        "prepare_sec": timings.get("_prepare_sec"),
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
         "turns": timings.get("_turns"),
@@ -345,6 +423,8 @@ def run_bench() -> dict:
         "sf1_turns_per_sec": timings.get("_sf1_turns_per_sec"),
         "whale_turns": timings.get("_whale_turns"),
         "whale_turns_per_sec": timings.get("_whale_turns_per_sec"),
+        "whale_sf1_turns": timings.get("_whale_sf1_turns"),
+        "whale_sf1_turns_per_sec": timings.get("_whale_sf1_turns_per_sec"),
         "longdoc_turns": timings.get("_longdoc_turns"),
         "longdoc_mb": timings.get("_longdoc_mb"),
         "longdoc_mb_per_sec": timings.get("_longdoc_mb_per_sec"),
@@ -357,7 +437,7 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same quality-filter job at local[8] vs local[32] on identical input."""
+    """Same quality-filter job at two parallelism levels on identical input."""
     from bytefreq_spark.pipeline import quality_filter
     from bytefreq_spark.session import get_spark
     from bytefreq_spark.synth import gen_transcripts_spark

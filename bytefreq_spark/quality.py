@@ -138,6 +138,28 @@ def text_features(texts: pd.Series) -> pd.DataFrame:
             s & m12, (s >> 12) & m12, (s >> 24) & m12, (s >> 36) & m12,
         ])  # a, A, 9, space
         weird = (s >> 48) & m12
+    elif max_len < (1 << 16):
+        # mid rows (the 4K-64K longdoc case): the FOUR reported classes fit
+        # 16-bit fields of ONE int64 — half the gather+reduce traffic of the
+        # two-pack 21-bit path below (VERDICT_r5: the duplicate pack gathers
+        # were the remaining featurize body cost).  weird (cls 4 exactly —
+        # higher class codes exist for punctuation/other) rides a separate
+        # narrow segmented count.  The top field may set bit 63
+        # (space_count ≥ 2^15 at position 48): int64 wraparound is benign —
+        # adds and shift+mask are bit-pattern exact in two's complement.
+        pack = np.zeros(8, dtype=np.int64)
+        for c, shift in ((0, 0), (1, 16), (2, 32), (3, 48)):
+            pack[c] = np.int64(1) << shift
+        s = _rowwise_sum(pack[cls], rstarts, rlens)
+        m16 = (1 << 16) - 1
+        counts = np.stack([
+            s & m16, (s >> 16) & m16, (s >> 32) & m16, (s >> 48) & m16,
+        ])  # a, A, 9, space
+        # uint16 accumulator: weird ≤ row len < 2^16 in this tier, and the
+        # narrower reduceat buffer is ~16% faster than the int32 path
+        weird = _rowwise_sum(
+            (cls == 4).astype(np.uint16), rstarts, rlens
+        ).astype(np.int64)
     elif max_len < (1 << 21):
         pack_a = np.zeros(8, dtype=np.int64)  # cls 0,1,2 -> fields 0,1,2
         pack_b = np.zeros(8, dtype=np.int64)  # cls 3,4   -> fields 0,1
@@ -162,16 +184,24 @@ def text_features(texts: pd.Series) -> pd.DataFrame:
     other = np.maximum(n_chars - known, 0)  # '_' + kept punctuation ",.-\""
     digits = counts[2]
 
-    # token count ≡ str.count(r"\S+"): non-ws positions preceded by ws/start
-    # (clamp+gather against the sentinel-extended LUT — index _WS_LUT_SIZE
-    # is False, and no codepoint ≥ U+3001 is whitespace)
-    ws = _ws_lut_ext()[np.minimum(rcodes, np.uint32(_WS_LUT_SIZE))]
+    # token count ≡ str.count(r"\S+"): non-ws positions preceded by ws/start.
+    # take(mode='clip') clamps to the sentinel index (_WS_LUT_SIZE is False,
+    # and no codepoint ≥ U+3001 is whitespace) without materializing the
+    # np.minimum temp — ~25% faster than clamp-then-gather, bit-identical
+    ws = _ws_lut_ext().take(rcodes, mode="clip")
     prev_ws = np.empty(len(rcodes), dtype=bool)
     if len(rcodes):
         prev_ws[0] = True
         prev_ws[1:] = ws[:-1]
         prev_ws[rstarts[rstarts < len(rcodes)]] = True  # rows are independent
-    n_tokens = _rowwise_count(~ws & prev_ws, rstarts, rlens)
+    tok = ~ws & prev_ws
+    if max_len < (1 << 16):
+        # tokens per row ≤ ceil(len/2) < 2^15 here — uint16 accumulation
+        # halves the reduceat buffer vs int32
+        n_tokens = _rowwise_sum(
+            tok.astype(np.uint16), rstarts, rlens).astype(np.int64)
+    else:
+        n_tokens = _rowwise_count(tok, rstarts, rlens)
 
     # class entropy (nats) over [a, A, 9, space, other]
     full = np.vstack([counts, other[None, :]]).astype(np.float64)

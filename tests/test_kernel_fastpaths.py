@@ -192,6 +192,38 @@ def test_text_features_fast_equals_naive():
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_text_features_pack_tiers_equal_naive():
+    """The packed segmented-reduce has FOUR width tiers chosen by the
+    batch's max row length (12-bit one-pack / 16-bit one-pack+weird /
+    21-bit two-pack / per-class fallback).  Drive a batch through EACH tier
+    with rows straddling the boundaries, including a space-heavy row that
+    sets bit 63 of the 16-bit pack's top field (the benign-wraparound
+    case), and require bit-identity with the naive per-class counts."""
+    from bytefreq_spark.quality import text_features, text_features_naive
+
+    mixed = "aA9 ,é1234 zz "  # all five classes + punct
+    boundary_rows = [
+        mixed * 50,                      # well under 2^12
+        ("x y " * 1024)[:4095],          # 12-bit tier ceiling
+        ("x y " * 1025)[:4097],          # just over -> 16-bit tier
+        (mixed * 5000)[:65535],          # 16-bit tier ceiling
+        " " * 40000 + "a1",              # space-heavy: top field bit 63 path
+        (mixed * 5000)[:65537],          # just over -> 21-bit tier
+        "é" * 70000 + " 9A",             # non-ascii in the 21-bit tier
+    ]
+    # each batch's tier is set by its MAX row; run every boundary row both
+    # in its own tier and dragged up a tier by a longer neighbor
+    for anchor in ["", "z" * 5000, "z" * 70000]:
+        rows = [r for r in boundary_rows if anchor == "" or len(r) <= len(anchor)]
+        s = pd.Series(rows + ([anchor] if anchor else []))
+        pd.testing.assert_frame_equal(
+            text_features(s), text_features_naive(s))
+    # fallback tier (rows >= 2^21 chars)
+    s = pd.Series([mixed * 150000, "short 1A"])
+    assert len(s[0]) >= (1 << 21)
+    pd.testing.assert_frame_equal(text_features(s), text_features_naive(s))
+
+
 def test_hu_class_codes_equals_table():
     """r4: the direct codepoint classifier must agree with classify-the-
     mask-output for every LUT codepoint AND a random sample of the high

@@ -88,6 +88,55 @@ def test_mojibake_full_cp1252_sweep():
     assert len(MOJIBAKE_MAP) > 100
 
 
+def test_csv_mojibake_ingest_composition(spark, tmp_path):
+    """VERDICT_r5 ask: the full ingest COMPOSITION — delimited scan (S1-S3)
+    → ragged-row capture (S4) → mojibake repair (K2) → mask-frequency
+    profile (A1/M) — must hold together, not just per-stage.  A cp1252-
+    mojibake CSV goes in; after repair the HU profile must collapse each
+    word to the clean all-letter mask, which the broken text cannot (a
+    mojibake 'Ã©' masks as 'A_')."""
+    from bytefreq_spark.profile import dq_report
+    from bytefreq_spark.sources.tabular import read_delimited
+
+    def brk(s: str) -> str:
+        """UTF-8 bytes mis-decoded as cp1252 — the real corruption."""
+        return s.encode("utf-8").decode("cp1252")
+
+    p = tmp_path / "mojibake.csv"
+    # "café"/"naïve"/curly-quote mis-decoded as cp1252 + one ragged row
+    p.write_text(
+        "name|city\n"
+        f"{brk('café')}|{brk('Überlingen')}\n"
+        f"{brk('naïve')}|Paris\n"
+        f"{brk('it’s')}|Lyon|EXTRA\n",
+        encoding="utf-8",
+    )
+    raw = read_delimited(spark, str(p), delimiter="|")
+    assert raw.columns == ["name", "city", "RaggedErr0"]
+
+    fixed = raw.select(
+        repair_encoding_col(F.col("name")).alias("name"),
+        repair_encoding_col(F.col("city")).alias("city"),
+        "RaggedErr0",
+    )
+    rows = {r["name"]: r for r in fixed.collect()}
+    assert set(rows) == {"café", "naïve", "it’s"}
+    assert rows["café"]["city"] == "Überlingen"
+    assert rows["it’s"]["RaggedErr0"] == "EXTRA"
+
+    # the repaired profile sees clean Unicode-letter masks; the broken one
+    # cannot produce them (Ã/â are uppercase/lowercase + orphan symbols)
+    prof = {(r["column"], r["pattern"]): r["count"]
+            for r in dq_report(fixed, ["name", "city"], "HU").collect()}
+    assert prof[("name", "aaaa")] == 1          # café
+    assert prof[("name", "aaaaa")] == 1         # naïve
+    assert prof[("name", "aa_a")] == 1          # it’s (curly quote = punct)
+    assert prof[("city", "Aaaaaaaaaa")] == 1    # Überlingen
+    broken_prof = {r["pattern"]
+                   for r in dq_report(raw, ["name"], "HU").collect()}
+    assert "aaaa" not in broken_prof and "aaaaa" not in broken_prof
+
+
 def test_mojibake_double_encoding_characterized():
     """Characterized behavior of the sequential replace chain (same shape as
     the reference's sed pipeline): repairing the outer layer of a TWICE-

@@ -41,6 +41,7 @@ from .quality import decide, text_features
 from .scrub import scrub_series
 
 FEATURE_SCHEMA = StructType([
+    StructField("lu_key", StringType()),
     StructField("n_tokens", LongType()),
     StructField("digit_count", LongType()),
     StructField("weird_count", LongType()),
@@ -61,7 +62,14 @@ def _featurize_udf():
     def feats(
         text: pd.Series, scrub_pre: pd.Series, scrub_flag: pd.Series
     ) -> pd.DataFrame:
-        f = text_features(text).drop(columns=["lu_key", "n_chars"])
+        # lu_key from the PYTHON kernel: the vectorized run-collapse costs
+        # ~13 µs core/turn vs ~87 µs for the JVM regexp chain (docs/PLANS.md
+        # §lu_key_mask_cost) — the featurize stage pays whichever engine
+        # computes it, so the cheap one wins.  NULL text yields NULL lu_key
+        # for exact parity with the JVM expression the rescan dictionary
+        # branch still uses (mask_col ≡ mask_series elsewhere: test_masks).
+        f = text_features(text).drop(columns=["n_chars"])
+        f.loc[text.isna(), "lu_key"] = None
         f["lang"] = detect_language(text)
         f["ppl"] = perplexity(text)
         # three-state scrub protocol (flags set JVM-side in ``featurize``):
@@ -80,7 +88,7 @@ def _featurize_udf():
         if py.any():
             scr[py] = scrub_series(text[py])
         f["scrubbed_text"] = scr
-        return f
+        return f[[fld.name for fld in FEATURE_SCHEMA.fields]]
 
     return feats
 
@@ -100,12 +108,15 @@ def _decide_udf():
 
 
 def with_mask_key(df: DataFrame) -> DataFrame:
-    """Cheap native columns: LU-mask dictionary key + char count.
+    """Native (JVM-only) columns: LU-mask dictionary key + char count.
 
-    Kept OUT of the pandas-UDF stage on purpose: the mask-frequency
-    dictionary pass then needs only this JVM-side projection (Catalyst prunes
-    to the `text` column; zero Python), instead of re-running the heavy
-    featurize UDF.  Native `mask_col` ≡ pandas `mask_series` (test_masks).
+    This is the RESCAN dictionary path: the mask-frequency pass re-reads the
+    input with this projection (Catalyst prunes to the `text` column; zero
+    Python) instead of re-running the heavy featurize UDF.  The featurize
+    stage itself emits lu_key from the Python kernel since r6 (~7× cheaper
+    per turn than this regexp chain — docs/PLANS.md §lu_key_mask_cost); the
+    two engines agree exactly (`mask_col` ≡ `mask_series`, test_masks;
+    NULL text → NULL key on both sides).
     """
     from .masks import mask_col
     from .quality import LU_KEY_LEN, LU_KEY_SRC_CHARS
@@ -134,7 +145,15 @@ def featurize(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
 
     if salt_partitions:
         df = df.repartition(salt_partitions)  # round-robin: breaks any skew
-    df = with_mask_key(df)
+    # n_chars stays a JVM projection (one length() call); lu_key moved INTO
+    # the featurize UDF (r6): the Python run-collapse kernel computes it ~7×
+    # cheaper per turn than mask_col's regexp chain, and both engines run
+    # serially on the same task thread, so the cheaper one shortens the
+    # stage (measured 0.5 s JVM vs 0.07 s Python wall on the 184k-turn
+    # flagship; audit in docs/PLANS.md §lu_key_mask_cost).  The rescan
+    # dictionary branch still uses with_mask_key — JVM-only by design.
+    df = df.withColumn(
+        "n_chars", F.coalesce(F.length("text"), F.lit(0)).cast("long"))
     # ASCII router for the scrub fast path: char count == UTF-8 byte count
     # ⇔ pure ASCII ⇔ the JVM regex chain is byte-identical to the Python
     # kernel (scrub.SCRUB_RULES_JAVA).  The JVM side applies the SAME

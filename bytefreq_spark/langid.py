@@ -10,16 +10,19 @@ operations are C-level pandas/numpy):
    text cannot contain script-tier characters).
 2. **Latin tier**: per-language marker-token hit rates (the high-weight
    features a fastText supervised model learns for closely related Latin
-   languages) → argmax with a fixed deterministic tie-break.  Implemented as
-   ONE ``\\w+`` tokenize pass + packed-bitmask dictionary lookups instead of
-   four alternation-regex scans (~4× faster, same counts: a ``\\b``-bounded
-   pure-letter marker matches exactly when it equals a maximal ``\\w+`` token
-   case-insensitively).
+   languages) → argmax with a fixed deterministic tie-break.  A hit is a
+   maximal ``\\w+`` token of the original text whose ``str.lower()`` equals
+   a marker word (spec note at ``MIN_CHARS``); implemented flat-buffer
+   vectorized — \\w runs found positionally over the batch's codepoint
+   array, tokens packed into uint32 keys and matched by searchsorted, no
+   per-token Python objects (the regex findall + dict map it replaced spent
+   85% of the tier materializing token strings).
 
 Returns ISO-639-1 codes; ``und`` for empty/non-linguistic text.
 
-``detect_language_naive`` keeps the original regex-scan formulation; the
-differential test asserts fast == naive so the optimization can never drift.
+``detect_language_naive`` implements the same spec per-row with re.findall
+and set membership; the differential test asserts fast == naive so the
+vectorized kernel can never drift.
 
 This mirrors bytefreq's mask philosophy: cheap character-class evidence first
 (the HU mask already *is* a script detector), expensive modelling never.
@@ -54,36 +57,170 @@ LATIN_MARKER_WORDS = {
            "una", "por", "para", "con", "no", "se", "su", "del"),
 }
 LATIN_ORDER = ["en", "fr", "de", "es"]  # deterministic tie-break order
-LATIN_MARKERS = {
-    lang: r"\b(?:" + "|".join(words) + r")\b"
-    for lang, words in LATIN_MARKER_WORDS.items()
-}
+
+# Marker-hit SPEC (frozen r6): a hit is a maximal ``\w+`` token of the
+# ORIGINAL text whose ``str.lower()`` equals the marker word.  This replaced
+# the earlier lower-then-tokenize formulation, which silently diverged from
+# any boundary-respecting reading around U+0130 ('İ' is the one codepoint
+# whose lower() is TWO chars — lowering first both split tokens at the
+# combining dot AND manufactured boundary-free matches).  The token
+# formulation is self-consistent, exactly mirrored by the naive reference,
+# and fully vectorizable over the flat codepoint buffer.
+
+MIN_CHARS = 3  # below this → und
+CAP_CHARS = 2048  # language is decidable from a prefix; bounds cost on huge turns
+
+# Packing geometry for the vectorized marker lookup: the distinct lowercase
+# chars of the marker words form a ≤30-symbol alphabet, so each token char
+# maps to a 5-bit code (0 unused, 31 = any char outside the alphabet,
+# İ/multi-char-lower included) and a ≤5-char token packs into ONE uint32.
+# 5-bit fields carry no inter-field arithmetic (max code 31 fits exactly),
+# so pack(token) == pack(marker) ⟺ the lowered chars match positionally;
+# any out-of-alphabet char puts a 31-field in the pack, which no marker key
+# contains — invalid tokens fail the key comparison with no separate pass.
+_TOK_MAX = 5
+_CODE_BITS = 5
+_INVALID_CODE = 31
+_CODE_LUT_SIZE = 0x1000  # marker chars are all < U+1000; others can't match
 
 # marker word → packed per-language membership bits (words can belong to
 # several languages, e.g. 'la' in fr and es, 'de' in fr and es)
 _PACKED: dict[str, int] = {}
 for _i, _lang in enumerate(LATIN_ORDER):
     for _w in LATIN_MARKER_WORDS[_lang]:
+        assert len(_w) <= _TOK_MAX and all(ord(c) < _CODE_LUT_SIZE for c in _w)
         _PACKED[_w] = _PACKED.get(_w, 0) | (1 << _i)
 
-MIN_CHARS = 3  # below this → und
-CAP_CHARS = 2048  # language is decidable from a prefix; bounds cost on huge turns
+_MARKER_ALPHABET = sorted({c for w in _PACKED for c in w})
+assert len(_MARKER_ALPHABET) <= _INVALID_CODE - 1
+_CHAR_CODE = {c: i + 1 for i, c in enumerate(_MARKER_ALPHABET)}
+
+
+def _pack_word(w: str) -> int:
+    return sum(_CHAR_CODE[c] << (_CODE_BITS * i) for i, c in enumerate(w))
+
+
+_MARKER_KEYS = np.array(sorted(_pack_word(w) for w in _PACKED), dtype=np.uint32)
+_MARKER_BITS = np.array(
+    [_PACKED[w] for w in sorted(_PACKED, key=_pack_word)], dtype=np.int64
+)
+
+_W_LUT_SIZE = 0x10000  # BMP dense; astral resolves per-unique through re
+_W_LUT: np.ndarray | None = None
+_CODE_LUT: np.ndarray | None = None
+
+
+def _w_lut() -> np.ndarray:
+    """int8 LUT: 1 iff ``re.match(r"\\w", chr(cp))`` for cp < _W_LUT_SIZE —
+    built FROM the regex engine itself, so token boundaries are \\w-exact by
+    construction; sentinel 2 at the clip index routes astral codepoints to
+    the per-unique fallback."""
+    global _W_LUT
+    if _W_LUT is None:
+        import re
+
+        pat = re.compile(r"\w")
+        _W_LUT = np.append(
+            np.fromiter(
+                (1 if pat.match(chr(cp)) else 0 for cp in range(_W_LUT_SIZE)),
+                dtype=np.int8, count=_W_LUT_SIZE,
+            ),
+            np.int8(2),
+        )
+    return _W_LUT
+
+
+def _code_lut() -> np.ndarray:
+    """uint8 LUT fusing lowercase + alphabet classify: cp → 5-bit code of
+    ``chr(cp).lower()`` in the marker alphabet, or _INVALID_CODE when the
+    lowercase is multi-char ('İ'), outside the alphabet, or the source cp is
+    out of LUT range (clip index)."""
+    global _CODE_LUT
+    if _CODE_LUT is None:
+        vals = []
+        for cp in range(_CODE_LUT_SIZE):
+            low = chr(cp).lower()
+            vals.append(
+                _CHAR_CODE.get(low, _INVALID_CODE) if len(low) == 1
+                else _INVALID_CODE
+            )
+        vals.append(_INVALID_CODE)  # clip sentinel
+        _CODE_LUT = np.array(vals, dtype=np.uint8)
+    return _CODE_LUT
+
+
+def _word_mask(codes: np.ndarray) -> np.ndarray:
+    """bool \\w mask per codepoint (dense BMP LUT + per-unique astral
+    fallback, same shape as masks.hu_class_codes)."""
+    import re
+
+    w8 = _w_lut().take(codes, mode="clip")
+    big_idx = np.flatnonzero(w8 == 2)
+    if len(big_idx):
+        big = codes[big_idx]
+        u = np.unique(big)
+        pat = re.compile(r"\w")
+        vals = np.fromiter(
+            (1 if pat.match(chr(int(cp))) else 0 for cp in u),
+            dtype=np.int8, count=len(u),
+        )
+        w8[big_idx] = vals[np.searchsorted(u, big)]
+    return w8.astype(bool)
 
 
 def _latin_scores(sub: pd.Series) -> np.ndarray:
-    """(n_langs, n_rows) marker-hit counts ×1000 via one tokenize pass."""
-    toks = sub.str.lower().str.findall(r"\w+")
-    lens = toks.map(len).to_numpy(dtype=np.int64)
-    pos = np.repeat(np.arange(len(sub)), lens)
-    flat = [w for lst in toks for w in lst]
-    codes = pd.Series(flat, dtype=object).map(_PACKED).fillna(0).to_numpy(
-        dtype=np.int64
-    ) if flat else np.empty(0, dtype=np.int64)
-    scores = np.zeros((len(LATIN_ORDER), len(sub)), dtype=np.int64)
-    for i in range(len(LATIN_ORDER)):
-        scores[i] = np.bincount(
-            pos, weights=(codes >> i) & 1, minlength=len(sub)
-        ).astype(np.int64) * 1000
+    """(n_langs, n_rows) marker-hit counts ×1000, fully vectorized.
+
+    One flat codepoint buffer for the batch; \\w runs found positionally
+    (rows reset the run so tokens never span rows); each candidate token is
+    lower+classified per-char through a fused LUT and packed into one uint32, then
+    matched against the sorted marker-key table with searchsorted.  No
+    per-token Python objects — the regex findall + dict map this replaced
+    spent 85% of the latin tier materializing and hashing token strings."""
+    from .masks import flat_codes
+
+    n = len(sub)
+    scores = np.zeros((len(LATIN_ORDER), n), dtype=np.int64)
+    if not n:
+        return scores
+    codes, starts, lens = flat_codes(sub)
+    if not len(codes):
+        return scores
+    w = _word_mask(codes)
+    prev = np.empty(len(codes), dtype=bool)
+    prev[0] = False
+    prev[1:] = w[:-1]
+    prev[starts[starts < len(codes)]] = False  # rows are independent
+    tok_start = w & ~prev
+    wpos = np.flatnonzero(w)
+    if not len(wpos):
+        return scores
+    ts_mask = tok_start[wpos]
+    tstarts = np.flatnonzero(ts_mask)          # token starts, compacted
+    toklen = np.diff(np.append(tstarts, len(wpos)))
+    codew = _code_lut().take(codes[wpos], mode="clip")
+    # pack: char i of a token fills bits [5i, 5i+5) — no carries (max code
+    # 31 fits the field exactly), so equality with a marker key ⟺ the
+    # lowered chars match positionally, and an out-of-alphabet char's
+    # 31-field can never appear in a key.  Positions ≥ _TOK_MAX share a
+    # capped shift (sums there may wrap), but such tokens are rejected by
+    # the length test before the key comparison.
+    pos_in_tok = np.arange(len(wpos)) - np.repeat(tstarts, toklen)
+    shift = (_CODE_BITS * np.minimum(pos_in_tok, _TOK_MAX)).astype(np.uint32)
+    packed = np.add.reduceat(codew.astype(np.uint32) << shift, tstarts)
+    idx = np.minimum(
+        np.searchsorted(_MARKER_KEYS, packed), len(_MARKER_KEYS) - 1
+    )
+    hit = (toklen <= _TOK_MAX) & (_MARKER_KEYS[idx] == packed)
+    ht = np.flatnonzero(hit)
+    if len(ht):
+        tok_row = np.searchsorted(
+            starts, wpos[tstarts[ht]], side="right") - 1
+        bits = _MARKER_BITS[idx[ht]]
+        for i in range(len(LATIN_ORDER)):
+            scores[i] = np.bincount(
+                tok_row, weights=(bits >> i) & 1, minlength=n
+            ).astype(np.int64) * 1000
     return scores
 
 
@@ -201,9 +338,20 @@ def decide_from_features(feats: pd.DataFrame) -> pd.Series:
 
 
 def detect_language_naive(texts: pd.Series) -> pd.Series:
-    """Original regex-scan formulation (4 script counts + 4 marker
-    alternation counts over every row).  Kept as the differential-test
-    reference for ``detect_language``."""
+    """Naive per-row formulation of the SAME spec as ``detect_language``
+    (regex script counts + findall-tokenize + per-token ``str.lower()`` set
+    membership).  Kept as the differential-test reference so the vectorized
+    kernel can never drift.
+
+    History: the original naive used ``(?i)\\b<word>\\b`` alternation counts
+    and the original fast lowered the text BEFORE tokenizing; the two agreed
+    everywhere except around U+0130 ('İ'), where regex case folding ('İ'
+    (?i)-matches 'i') and lower-then-split each invent different tokens.
+    r6 froze the token spec (tokenize original, compare token.lower()) and
+    aligned both implementations to it — see the spec note above
+    ``MIN_CHARS`` and test_langid_dotted_I_spec."""
+    import re
+
     t = texts.fillna("").str.slice(0, CAP_CHARS)
     n = len(t)
     n_chars = t.str.len().to_numpy(dtype=np.int64)
@@ -219,10 +367,16 @@ def detect_language_naive(texts: pd.Series) -> pd.Series:
         out[fire] = lang
         decided |= fire
 
+    word_re = re.compile(r"\w+")
+    marker_sets = {
+        lang: set(words) for lang, words in LATIN_MARKER_WORDS.items()
+    }
     scores = np.zeros((len(LATIN_ORDER), n), dtype=np.int64)
-    for i, lang in enumerate(LATIN_ORDER):
-        hits = t.str.count(LATIN_MARKERS[lang], flags=2)  # re.IGNORECASE
-        scores[i] = hits.to_numpy(dtype=np.int64) * 1000
+    for r, row in enumerate(t):
+        lows = [tok.lower() for tok in word_re.findall(row)]
+        for i, lang in enumerate(LATIN_ORDER):
+            mset = marker_sets[lang]
+            scores[i, r] = sum(1 for w_ in lows if w_ in mset) * 1000
     norm = scores // np.maximum(n_chars, 1)
     best = np.argmax(norm, axis=0)
     best_score = norm[best, np.arange(n)]

@@ -78,6 +78,23 @@ def test_langid_fast_equals_naive():
     assert detect_language(s).equals(detect_language_naive(s))
 
 
+def test_langid_dotted_I_spec():
+    """U+0130 ('İ') is the one codepoint whose lower() is two chars; before
+    r6 the fast path (lower-then-tokenize) and the naive path ((?i) regex
+    folding) silently disagreed in BOTH directions around it.  The frozen
+    token spec — tokenize the ORIGINAL text, compare token.lower() — makes
+    'İthe' one non-marker token and 'İs' one non-marker token, on both
+    implementations."""
+    s = pd.Series([
+        "İthe xxqq zz",   # old fast found marker 'the' after lower-split
+        "İs it qqq zz",   # old naive (?i)-matched marker 'is' across 'İ'
+        "the İ zz",       # standalone İ must not disturb the real marker
+    ])
+    fast, naive = detect_language(s), detect_language_naive(s)
+    assert fast.equals(naive)
+    assert fast.tolist() == ["und", "en", "en"]
+
+
 def test_langid_feature_replay_equals_detect():
     """feature-frame → decision replay must equal the fused classifier on
     the adversarial corpus — this differential is what lets the langid_docs

@@ -33,12 +33,19 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-# Unicode script ranges (public Unicode block boundaries)
+# Unicode script ranges (public Unicode block boundaries) — the single
+# source of truth: the fast path compares codepoints against these ranges
+# directly; the regex character classes (used by the naive reference and by
+# any SQL consumers) are DERIVED from them below, so they cannot drift.
+SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "zh": ((0x3040, 0x30FF), (0x3400, 0x4DBF), (0x4E00, 0x9FFF)),  # CJK+kana
+    "ru": ((0x0400, 0x04FF),),
+    "el": ((0x0370, 0x03FF),),
+    "hi": ((0x0900, 0x097F),),
+}
 SCRIPT_PATTERNS = {
-    "zh": r"[぀-ヿ㐀-䶿一-鿿]",  # CJK (+kana)
-    "ru": r"[Ѐ-ӿ]",
-    "el": r"[Ͱ-Ͽ]",
-    "hi": r"[ऀ-ॿ]",
+    lang: "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges) + "]"
+    for lang, ranges in SCRIPT_RANGES.items()
 }
 SCRIPT_THRESHOLD_NUM = 3    # fire when script_chars * 10 >= n_chars * 3 (30%)
 SCRIPT_THRESHOLD_DEN = 10
@@ -149,6 +156,48 @@ def _code_lut() -> np.ndarray:
     return _CODE_LUT
 
 
+def _seg_count16(mask: np.ndarray, starts: np.ndarray,
+                 lens: np.ndarray) -> np.ndarray:
+    """Per-row popcount of a flat boolean mask (uint16 reduceat — counts are
+    bounded by CAP_CHARS).  Empty-row-safe: an interior empty row makes
+    reduceat return a stray element (zeroed via ``lens == 0``); a TRAILING
+    empty row has start == len(mask), which reduceat rejects, so those rows
+    are excluded up front (their count is 0 by definition)."""
+    out = np.zeros(len(starts), dtype=np.uint16)
+    if not len(mask):
+        return out.astype(np.int64)
+    vals = mask.astype(np.uint16)
+    valid = starts < len(mask)
+    if valid.all():
+        out = np.add.reduceat(vals, starts)
+    elif valid.any():
+        out[valid] = np.add.reduceat(vals, starts[valid])
+    out[lens == 0] = 0
+    return out.astype(np.int64)
+
+
+def _script_counts(sub: pd.Series) -> dict[str, np.ndarray]:
+    """Per-row script-range char counts for every SCRIPT_RANGES language —
+    flat codepoint buffer + range compares + one segmented popcount per
+    script, replacing four regex ``str.count`` passes (the last regex in
+    the langid hot path).  Range ≡ regex char class by construction
+    (SCRIPT_PATTERNS is derived from SCRIPT_RANGES)."""
+    from .masks import flat_codes
+
+    n = len(sub)
+    if not n:
+        return {lang: np.zeros(0, dtype=np.int64) for lang in SCRIPT_RANGES}
+    codes, starts, lens = flat_codes(sub)
+    out = {}
+    for lang, ranges in SCRIPT_RANGES.items():
+        m = None
+        for lo, hi in ranges:
+            part = (codes >= np.uint32(lo)) & (codes <= np.uint32(hi))
+            m = part if m is None else (m | part)
+        out[lang] = _seg_count16(m, starts, lens)
+    return out
+
+
 def _word_mask(codes: np.ndarray) -> np.ndarray:
     """bool \\w mask per codepoint (dense BMP LUT + per-unique astral
     fallback, same shape as masks.hu_class_codes)."""
@@ -243,8 +292,9 @@ def detect_language(texts: pd.Series) -> pd.Series:
         sub = t.iloc[nonascii_idx]
         sub_chars = n_chars[nonascii_idx]
         sub_decided = decided[nonascii_idx]
-        for lang, pat in SCRIPT_PATTERNS.items():
-            cnt = sub.str.count(pat).to_numpy(dtype=np.int64)
+        counts = _script_counts(sub)
+        for lang in SCRIPT_RANGES:
+            cnt = counts[lang]
             fire = (~sub_decided) & (
                 cnt * SCRIPT_THRESHOLD_DEN >= sub_chars * SCRIPT_THRESHOLD_NUM
             )
@@ -292,11 +342,13 @@ def langid_feature_frame(texts: pd.Series) -> pd.DataFrame:
     )
     feats: dict[str, np.ndarray] = {"n_chars": n_chars, "is_ascii": ascii_mask}
     nonascii_idx = np.flatnonzero(~ascii_mask)
-    sub = t.iloc[nonascii_idx]
-    for lang, pat in SCRIPT_PATTERNS.items():
+    sub_counts = (
+        _script_counts(t.iloc[nonascii_idx]) if len(nonascii_idx) else None
+    )
+    for lang in SCRIPT_RANGES:
         cnt = np.zeros(n, dtype=np.int64)
-        if len(nonascii_idx):
-            cnt[nonascii_idx] = sub.str.count(pat).to_numpy(dtype=np.int64)
+        if sub_counts is not None:
+            cnt[nonascii_idx] = sub_counts[lang]
         feats[f"{lang}_cnt"] = cnt
     scores = (
         _latin_scores(t) if n

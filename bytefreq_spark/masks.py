@@ -280,6 +280,84 @@ def collapse_runs_series(s: pd.Series) -> pd.Series:
     return pd.Series(out, index=s.index, dtype=object)
 
 
+_HU_MASK_LUT: "np.ndarray | None" = None
+_HU_MASK_SENTINEL = 0xFFFFFFFF
+
+
+def _hu_mask_lut():
+    """uint32 LUT: cp → ord(_HU_TABLE[cp]) (the HU mask character) for the
+    dense low range; sentinel at the clip index routes the long tail to the
+    per-unique fallback in ``_hu_mask_codes``."""
+    global _HU_MASK_LUT
+    if _HU_MASK_LUT is None:
+        import numpy as np
+
+        _HU_MASK_LUT = np.append(
+            np.fromiter(
+                (ord(_HU_TABLE[cp]) for cp in range(_HU_CP_LUT_SIZE)),
+                dtype=np.uint32, count=_HU_CP_LUT_SIZE,
+            ),
+            np.uint32(_HU_MASK_SENTINEL),
+        )
+    return _HU_MASK_LUT
+
+
+def _hu_mask_codes(codes):
+    """HU-masked codepoint per raw codepoint ≡ ``ord(_HU_TABLE[cp])`` —
+    the flat-buffer equivalent of ``str.translate(_HU_TABLE)`` (dense LUT +
+    per-unique tail, same shape as ``hu_class_codes``)."""
+    import numpy as np
+
+    out = _hu_mask_lut().take(codes, mode="clip")
+    big_idx = np.flatnonzero(out == _HU_MASK_SENTINEL)
+    if len(big_idx):
+        big = codes[big_idx]
+        u = np.unique(big)
+        m = np.fromiter(
+            (ord(_HU_TABLE[int(cp)]) for cp in u),
+            dtype=np.uint32, count=len(u),
+        )
+        out[big_idx] = m[np.searchsorted(u, big)]
+    return out
+
+
+def lu_mask_key_series(s: pd.Series, src_chars: int, key_len: int) -> pd.Series:
+    """``mask_series(s.str.slice(0, src_chars), 'LU').str.slice(0, key_len)``
+    fused over ONE flat codepoint buffer: LUT gather instead of the per-char
+    dict ``str.translate``, the run-collapse on the mapped codes directly
+    (no intermediate translated strings + second flatten), and only the
+    ≤ key_len surviving chars per row are decoded back to Python strings.
+    Differential-tested against the unfused formulation (test_masks)."""
+    import numpy as np
+
+    t = s.fillna("").str.slice(0, src_chars)
+    n = len(t)
+    codes, starts, lens = flat_codes(t)
+    if len(codes) == 0:
+        return pd.Series(["_"] * n, index=s.index, dtype=object)
+    mapped = _hu_mask_codes(codes)
+    keep = np.empty(len(mapped), dtype=bool)
+    keep[0] = True
+    np.not_equal(mapped[1:], mapped[:-1], out=keep[1:])
+    keep[starts[starts < len(mapped)]] = True  # row starts always survive
+    cum = np.concatenate(([0], np.cumsum(keep)))
+    row_kept = cum[starts + lens] - cum[starts]
+    sel_len = np.minimum(row_kept, key_len)
+    total = int(sel_len.sum())
+    kpos = np.flatnonzero(keep)
+    # segmented arange: the first sel_len[r] kept positions of each row
+    cumk = cum[starts]
+    out_starts = np.zeros(n, np.int64)
+    np.cumsum(sel_len[:-1], out=out_starts[1:])
+    seg_off = np.arange(total, dtype=np.int64) - np.repeat(out_starts, sel_len)
+    out_codes = mapped[kpos[np.repeat(cumk, sel_len) + seg_off]]
+    big = out_codes.astype("<u4").tobytes().decode("utf-32-le")
+    ends = np.cumsum(sel_len)
+    begins = ends - sel_len
+    out = [big[a:b] if b > a else "_" for a, b in zip(begins, ends)]
+    return pd.Series(out, index=s.index, dtype=object)
+
+
 def mask_series(s: pd.Series, grain: str = "LU") -> pd.Series:
     """Vectorized pandas mask (for pandas-UDF stages). NaN-safe."""
     if grain not in GRAINS:

@@ -119,8 +119,13 @@ def text_features(texts: pd.Series, with_lu_key: bool = True) -> pd.DataFrame:
     emits lu_key from here (docs/PLANS.md §lu_key_mask_cost)."""
     from .masks import flat_codes, hu_class_codes
 
+    from .masks import lu_mask_key_series
+
     t = texts.fillna("")
-    lu = (mask_series(t.str.slice(0, LU_KEY_SRC_CHARS), "LU")
+    # fused flat-buffer LU key (≡ mask_series(prefix).str.slice(0, key_len);
+    # differential-tested) — one flatten + LUT gather instead of per-char
+    # dict translate + re-flatten, decoding only the surviving key chars
+    lu = (lu_mask_key_series(t, LU_KEY_SRC_CHARS, LU_KEY_LEN)
           if with_lu_key else None)
 
     rcodes, rstarts, rlens = flat_codes(t)
@@ -226,7 +231,7 @@ def text_features(texts: pd.Series, with_lu_key: bool = True) -> pd.DataFrame:
         "mask_entropy": ent,
     }
     if lu is not None:
-        data["lu_key"] = lu.str.slice(0, LU_KEY_LEN)
+        data["lu_key"] = lu  # already truncated by the fused kernel
     return pd.DataFrame(data, index=texts.index)
 
 

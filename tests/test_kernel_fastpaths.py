@@ -78,6 +78,25 @@ def test_langid_fast_equals_naive():
     assert detect_language(s).equals(detect_language_naive(s))
 
 
+def test_langid_script_range_boundaries():
+    """The vectorized script tier compares codepoints against SCRIPT_RANGES
+    while the naive reference uses the regex classes DERIVED from the same
+    ranges — drive rows sitting exactly on every block boundary (first/last
+    codepoint in range, plus one outside each edge) through both."""
+    from bytefreq_spark.langid import SCRIPT_RANGES
+
+    rows = []
+    for ranges in SCRIPT_RANGES.values():
+        for lo, hi in ranges:
+            rows.append(chr(lo) * 10)          # first in-range cp
+            rows.append(chr(hi) * 10)          # last in-range cp
+            rows.append(chr(lo - 1) * 10)      # just below
+            rows.append(chr(hi + 1) * 10)      # just above
+            rows.append((chr(lo) + "ab ") * 5)  # mixed, near threshold
+    s = pd.Series(rows)
+    assert detect_language(s).equals(detect_language_naive(s))
+
+
 def test_langid_dotted_I_spec():
     """U+0130 ('İ') is the one codepoint whose lower() is two chars; before
     r6 the fast path (lower-then-tokenize) and the naive path ((?i) regex

@@ -59,6 +59,25 @@ def test_mask_series_matches_mask_str():
         assert got.iloc[-1] == ("_" if grain in ("L", "LU") else "")
 
 
+def test_lu_mask_key_series_matches_unfused():
+    """The fused flat-buffer LU key (one flatten + LUT gather + capped
+    decode) must equal mask_series(prefix, 'LU').str.slice(0, key_len)
+    exactly — goldens, NaN/empty rows, >LUT-range unicode, runs straddling
+    the prefix cut, and rows whose collapsed mask exceeds the key length."""
+    from bytefreq_spark.masks import lu_mask_key_series
+
+    rows = (
+        [g[0] for g in GOLDEN]
+        + [None, "", "   ", "a" * 600, "ab" * 600, "中中文abc" * 100,
+           "x" * 511 + "yz", "1a2b3c" * 200, "é" * 40 + "99  zz"]
+    )
+    s = pd.Series(rows, dtype=object)
+    for src, key in ((512, 64), (512, 8), (10, 4)):
+        want = mask_series(s.fillna("").str.slice(0, src), "LU").str.slice(0, key)
+        got = lu_mask_key_series(s, src, key)
+        assert got.tolist() == want.tolist(), (src, key)
+
+
 def test_mask_properties():
     # idempotence of H; LU = collapse(HU); cardinality reduction is implied
     for raw, *_ in GOLDEN:

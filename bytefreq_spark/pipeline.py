@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,14 +74,18 @@ def _featurize_udf():
         f["lang"] = detect_language(text)
         f["ppl"] = perplexity(text)
         # three-state scrub protocol (flags set JVM-side in ``featurize``):
-        # 0 = clean ASCII — no rule can match (prefilter), scrub ≡ identity,
-        #     nothing shipped through Arrow;
+        # 0 = clean ASCII — no rule can match (prefilter), scrub ≡ identity:
+        #     nothing ships through Arrow in EITHER direction (the UDF
+        #     returns NULL and the JVM coalesces scrubbed_text back to text
+        #     — r6: returning the text itself re-shipped the whole corpus on
+        #     the Arrow return path for nothing);
         # 1 = candidate ASCII — scrub_pre carries the JVM-scrubbed text (the
         #     dialect-equivalence fast path, scrub.SCRUB_RULES_JAVA);
         # 2 = non-ASCII or NULL — the Python kernel decides.
         # Byte-identical overall, enforced by the scrub differential tests.
         flag = scrub_flag.to_numpy()
-        scr = text.fillna("")  # fresh series; flag-0 rows keep identity
+        scr = pd.Series(
+            np.full(len(text), None, dtype=object), index=text.index)
         jvm = flag == 1
         if jvm.any():
             scr[jvm] = scrub_pre[jvm]
@@ -181,9 +186,15 @@ def featurize(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
         .otherwise(F.lit(2))
     ).cast("int")
     scrub_pre = F.when(ascii_ok & cand, scrub_col(F.col("text")))
-    return df.withColumn(
-        "_f", _featurize_udf()(F.col("text"), scrub_pre, scrub_flag)
-    ).select("*", "_f.*").drop("_f")
+    return (
+        df.withColumn(
+            "_f", _featurize_udf()(F.col("text"), scrub_pre, scrub_flag)
+        ).select("*", "_f.*").drop("_f")
+        # flag-0 (clean-identity) rows come back with NULL scrubbed_text —
+        # restore the identity JVM-side so the Arrow return path never
+        # carries the unchanged corpus text
+        .withColumn("scrubbed_text", F.coalesce("scrubbed_text", "text"))
+    )
 
 
 def mask_frequency_dict(featurized: DataFrame) -> DataFrame:

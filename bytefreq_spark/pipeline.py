@@ -263,6 +263,33 @@ def with_dup_flag(df: DataFrame) -> DataFrame:
     )
 
 
+def with_dup_flag_hashed(df: DataFrame, hash_col: str = "_text_h") -> DataFrame:
+    """``with_dup_flag`` over a PRE-SHUFFLE 64-bit text hash instead of the
+    raw text: the lag window then never needs the text column, so
+    ``drop_text=True`` can prune text/tool BEFORE the wide conversation
+    shuffle (the dominant data movement at scale — see docs/SCALE.md).
+
+    The hash column must be NULL for NULL text (``xxhash64`` would hash a
+    NULL to the seed constant, letting a real text that hashes to the seed
+    false-match an adjacent NULL row); with that convention the NULL/empty
+    semantics match the exact comparison.  A 64-bit collision between two
+    ADJACENT same-conversation turns falsely flags a duplicate: expected
+    false dups ≈ n_pairs·2⁻⁶⁴ ≈ 5×10⁻⁸ across 10^12 turns — noise for a
+    training-corpus filter (same documented tradeoff as paragraph_dedup's
+    hash keys).  Equivalence with the exact flag is differential-tested
+    (test_dup_flag_hashed_equals_exact)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag(hash_col).over(w)
+    return df.withColumn(
+        "is_dup",
+        prev.isNotNull()
+        & (prev == F.col(hash_col))
+        & (F.col("n_chars") > 0),
+    )
+
+
 def with_prev_turn(df: DataFrame) -> DataFrame:
     """Alternate duplicate detection: skew-safe self-join on the composite
     key (no layout requirement; costs its own shuffle of both sides)."""
@@ -419,10 +446,22 @@ def quality_filter(
     # ONE wide shuffle: conversation layout → exchange-free lag window →
     # native decision.  Output is conversation-contiguous and (conv_id,
     # turn_idx)-sorted by construction; no sampling job, no persist needed.
-    laid_out = conversation_layout(with_freq)
-    decided = with_decision(with_dup_flag(laid_out))
+    # The dup lag compares a 64-bit text hash computed BEFORE the shuffle
+    # (NULL for NULL text — see with_dup_flag_hashed), so with drop_text
+    # the raw text/tool columns are pruned from the exchange payload
+    # entirely: at 10^12-turn scale that halves the one full-data shuffle
+    # (scrubbed_text is the deliverable; raw text was riding along only to
+    # feed the adjacent-duplicate comparison).
+    pre = with_freq.withColumn(
+        "_text_h",
+        F.when(F.col("text").isNotNull(), F.xxhash64("text")),
+    )
     if drop_text:
-        decided = decided.drop("text", "tool", "lu_key")
+        pre = pre.drop("text", "tool")
+    laid_out = conversation_layout(pre)
+    decided = with_decision(with_dup_flag_hashed(laid_out)).drop("_text_h")
+    if drop_text:
+        decided = decided.drop("lu_key")
     return decided
 
 

@@ -133,6 +133,25 @@ def main():
          lambda p: bool(re.search(r"Window \(\d+\)\s*\n\s*\+- Sort \(\d+\)\s*\n\s*\+- Exchange", p))),
     ])
 
+    # 4b. drop_text mode: the wide conversation exchange must NOT carry the
+    # raw text — the dup lag compares the pre-shuffle 64-bit hash, so only
+    # scrubbed_text + features + the 8-byte hash cross the dominant shuffle
+    def _layout_exchange_cols(p):
+        m = re.search(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]+)\]\n"
+            r"Arguments: hashpartitioning\(conv_id", p)
+        return m.group(1) if m else ""
+
+    qf_drop = quality_filter(tr, salt_partitions=8, drop_text=True)
+    audit("quality_filter_drop_text", qf_drop, [
+        ("layout exchange carries NO raw text column",
+         lambda p: _layout_exchange_cols(p) != ""
+         and not re.search(r"(?<![\w])text#", _layout_exchange_cols(p))),
+        ("layout exchange still carries scrubbed_text + the dup hash",
+         lambda p: "scrubbed_text#" in _layout_exchange_cols(p)
+         and "_text_h#" in _layout_exchange_cols(p)),
+    ])
+
     # 5. window top-k
     audit("window_topk", entry.q_top_orders_window(spark, SF_DIR), [
         ("window + running filter", lambda p: "Window" in p),

@@ -141,6 +141,40 @@ def test_checkpoint_resume(spark, corpus_pdf, reference_labels):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_dup_flag_hashed_equals_exact(spark):
+    """The r6 dup flag lags a pre-shuffle 64-bit text hash instead of the
+    raw text (so drop_text can prune text from the wide exchange).  On every
+    non-colliding input — i.e. everything but a deliberate 2⁻⁶⁴ event — it
+    must equal the exact comparison, including the NULL/empty edges: NULL
+    text never matches anything (hash column stays NULL), empty text never
+    flags, and duplicates across conversation boundaries never flag."""
+    from bytefreq_spark.pipeline import (
+        conversation_layout, with_dup_flag, with_dup_flag_hashed,
+    )
+
+    rows = [
+        ("c0", 0, "same turn"), ("c0", 1, "same turn"),   # true adjacent dup
+        ("c0", 2, "other"), ("c0", 3, "same turn"),       # non-adjacent: no
+        ("c1", 0, None), ("c1", 1, None),                 # NULL pair: no
+        ("c1", 2, ""), ("c1", 3, ""),                     # empty pair: no
+        ("c1", 4, "x"), ("c2", 0, "x"),                   # across convs: no
+        ("c2", 1, "x"),                                   # within conv: yes
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    ).withColumn("n_chars", F.coalesce(F.length("text"), F.lit(0)).cast("long"))
+    laid = conversation_layout(df.withColumn(
+        "_text_h", F.when(F.col("text").isNotNull(), F.xxhash64("text"))))
+    key = ["conv_id", "turn_idx"]
+    exact = {(r["conv_id"], r["turn_idx"]): r["is_dup"]
+             for r in with_dup_flag(laid).select(*key, "is_dup").collect()}
+    hashed = {(r["conv_id"], r["turn_idx"]): r["is_dup"]
+              for r in with_dup_flag_hashed(laid).select(*key, "is_dup").collect()}
+    assert hashed == exact
+    assert hashed[("c0", 1)] is True and hashed[("c2", 1)] is True
+    assert sum(v for v in hashed.values()) == 2
+
+
 def test_lu_key_python_equals_jvm(spark):
     """r6 moved lu_key INTO the featurize UDF (Python kernel ~7× cheaper
     than the JVM regexp chain — docs/PLANS.md §lu_key_mask_cost), while the

@@ -283,6 +283,16 @@ def bench_queries(spark, sf_dir: str, corpus_root: str):
     timings["_turns"] = n_turns
     timings["_turns_per_sec"] = round(n_turns / timings["quality_filter"], 1)
 
+    # the AT-SCALE config (drop_text=True — scrubbed text is the
+    # deliverable): the dup lag compares a pre-shuffle 64-bit hash, so the
+    # raw text never crosses the wide conversation exchange (plan-audit-
+    # asserted).  Same work as the flagship row minus the text payload of
+    # THE shuffle — the delta is the measured value of the r6 pruning.
+    run("quality_filter_droptext",
+        lambda: _materialize(quality_filter(
+            state["tr"], salt_partitions=CPUS * 2, drop_text=True)),
+        clear_cache=True, restore=_restore_flagship)
+
     # freq_source strategy comparison (see quality_filter docstring): the
     # dictionary's second-look cost as rescan-input vs persist-featurized
     run("quality_filter_persist",

@@ -33,6 +33,21 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+# Every staged-oracle artifact below lives under /tmp/bytefreq_*_{pid}; the
+# oracle SQL reads them AFTER the Spark query returns, so they cannot be
+# deleted inline — sweep them when the driver process exits instead
+# (ADVICE r6: the langid/minhash/... stage dirs accumulated across runs).
+import atexit  # noqa: E402
+import glob as _glob  # noqa: E402
+import shutil as _shutil  # noqa: E402
+
+
+@atexit.register
+def _sweep_stage_dirs() -> None:
+    for d in _glob.glob(f"/tmp/bytefreq_*_{os.getpid()}"):
+        _shutil.rmtree(d, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # bytefreq profiling core (SURVEY.md §2.2/2.3/2.5: M1-M4, A1-A2, O1-O2, R1)
 # ---------------------------------------------------------------------------
@@ -344,12 +359,13 @@ def q_langid_docs(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     out_cols = ["doc_id", "lang"] + LANGID_FEATURE_COLS + ["lang_pred"]
-    schema = (
-        "doc_id long, lang string, n_chars long, is_ascii boolean, "
-        "zh_cnt long, ru_cnt long, el_cnt long, hi_cnt long, "
-        "en_score long, fr_score long, de_score long, es_score long, "
-        "lang_pred string"
+    # staged schema derived from LANGID_FEATURE_COLS so a langid tier change
+    # (r7: the ja kana tier added ja_cnt) cannot desync query and oracle
+    feat_sql = ", ".join(
+        f"{c} {'boolean' if c == 'is_ascii' else 'long'}"
+        for c in LANGID_FEATURE_COLS
     )
+    schema = f"doc_id long, lang string, {feat_sql}, lang_pred string"
 
     def _featurize(batches):
         for pdf in batches:
@@ -1328,8 +1344,8 @@ def _langid_case_sql() -> str:
     from bytefreq_spark import langid as L
 
     script_whens = "\n        ".join(
-        f"WHEN NOT is_ascii AND {lang}_cnt * {L.SCRIPT_THRESHOLD_DEN} "
-        f">= n_chars * {L.SCRIPT_THRESHOLD_NUM} THEN '{lang}'"
+        f"WHEN NOT is_ascii AND {lang}_cnt * {L.script_threshold(lang)[1]} "
+        f">= n_chars * {L.script_threshold(lang)[0]} THEN '{lang}'"
         for lang in L.SCRIPT_PATTERNS
     )
     norm = {
@@ -1381,11 +1397,22 @@ def oracle_sql() -> dict[str, str]:
               -- Spark job lost never reaches the staged features, leaving
               -- an extra 'und' row here -> row-count/hash red
               SELECT doc.doc_id AS doc_id, doc.lang AS lang,
-                     s.n_chars, s.is_ascii, s.zh_cnt, s.ru_cnt, s.el_cnt,
-                     s.hi_cnt, s.en_score, s.fr_score, s.de_score, s.es_score
+                     s.n_chars, s.is_ascii, s.ja_cnt, s.zh_cnt, s.ru_cnt,
+                     s.el_cnt, s.hi_cnt, s.en_score, s.fr_score, s.de_score,
+                     s.es_score
               FROM documents doc LEFT JOIN s ON doc.doc_id = s.doc_id
+            ), dup AS (
+              -- duplicate-key guard (ADVICE r6): a document staged TWICE
+              -- multiplies both the LEFT JOIN above and the Spark result by
+              -- the same factor and would compare green — poison rows per
+              -- duplicated doc_id force a row-count + hash mismatch instead
+              SELECT doc_id FROM s GROUP BY 1 HAVING count(*) > 1
             )
             SELECT doc_id, lang, {langid_case} AS lang_pred FROM j
+            UNION ALL
+            SELECT doc_id, 'DUPLICATE_STAGE' AS lang,
+                   CAST(NULL AS VARCHAR) AS lang_pred
+            FROM dup
         """,
         "quality_filter_transcripts": f"""
             WITH d AS (

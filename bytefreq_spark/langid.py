@@ -37,8 +37,13 @@ import pandas as pd
 # source of truth: the fast path compares codepoints against these ranges
 # directly; the regex character classes (used by the naive reference and by
 # any SQL consumers) are DERIVED from them below, so they cannot drift.
+# Dict ORDER is the tier order (first matching tier wins): ``ja`` runs
+# BEFORE ``zh`` because kana characters are unambiguously Japanese while
+# han characters are shared — the kana ratio decides ja vs zh (VERDICT_r6
+# ask #3: labeling all Japanese as ``zh`` mis-routed an entire language).
 SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
-    "zh": ((0x3040, 0x30FF), (0x3400, 0x4DBF), (0x4E00, 0x9FFF)),  # CJK+kana
+    "ja": ((0x3040, 0x309F), (0x30A0, 0x30FF)),  # hiragana, katakana
+    "zh": ((0x3400, 0x4DBF), (0x4E00, 0x9FFF)),  # han (shared CJK ideographs)
     "ru": ((0x0400, 0x04FF),),
     "el": ((0x0370, 0x03FF),),
     "hi": ((0x0900, 0x097F),),
@@ -49,6 +54,18 @@ SCRIPT_PATTERNS = {
 }
 SCRIPT_THRESHOLD_NUM = 3    # fire when script_chars * 10 >= n_chars * 3 (30%)
 SCRIPT_THRESHOLD_DEN = 10
+# Per-language overrides of the (num, den) firing fraction.  ja uses 10%:
+# kana never appears in Chinese text, so a small unambiguous kana presence
+# decides ja even in kanji-heavy Japanese prose (particles alone clear 10%),
+# while 30% of SHARED han chars stays the zh bar.
+SCRIPT_THRESHOLDS: dict[str, tuple[int, int]] = {
+    "ja": (1, 10),
+}
+
+
+def script_threshold(lang: str) -> tuple[int, int]:
+    return SCRIPT_THRESHOLDS.get(
+        lang, (SCRIPT_THRESHOLD_NUM, SCRIPT_THRESHOLD_DEN))
 
 # Marker words per Latin language: function words a supervised linear model
 # would weight highest.  Single source of truth — the naive path derives its
@@ -162,7 +179,14 @@ def _seg_count16(mask: np.ndarray, starts: np.ndarray,
     bounded by CAP_CHARS).  Empty-row-safe: an interior empty row makes
     reduceat return a stray element (zeroed via ``lens == 0``); a TRAILING
     empty row has start == len(mask), which reduceat rejects, so those rows
-    are excluded up front (their count is 0 by definition)."""
+    are excluded up front (their count is 0 by definition).
+
+    PRECONDITION: per-row counts must fit uint16 — every caller caps texts
+    at CAP_CHARS first.  Asserted here (ADVICE r6): a future uncapped caller
+    would otherwise get silently truncated counts."""
+    assert not len(lens) or int(lens.max()) < (1 << 16), (
+        "_seg_count16 requires rows < 2^16 chars (cap at CAP_CHARS first)"
+    )
     out = np.zeros(len(starts), dtype=np.uint16)
     if not len(mask):
         return out.astype(np.int64)
@@ -294,10 +318,9 @@ def detect_language(texts: pd.Series) -> pd.Series:
         sub_decided = decided[nonascii_idx]
         counts = _script_counts(sub)
         for lang in SCRIPT_RANGES:
+            num, den = script_threshold(lang)
             cnt = counts[lang]
-            fire = (~sub_decided) & (
-                cnt * SCRIPT_THRESHOLD_DEN >= sub_chars * SCRIPT_THRESHOLD_NUM
-            )
+            fire = (~sub_decided) & (cnt * den >= sub_chars * num)
             out[nonascii_idx[fire]] = lang
             sub_decided |= fire
         decided[nonascii_idx] = sub_decided
@@ -371,10 +394,9 @@ def decide_from_features(feats: pd.DataFrame) -> pd.Series:
     decided = n_chars < MIN_CHARS
     nonascii = ~feats["is_ascii"].to_numpy(dtype=bool)
     for lang in SCRIPT_PATTERNS:
+        num, den = script_threshold(lang)
         cnt = feats[f"{lang}_cnt"].to_numpy(dtype=np.int64)
-        fire = (~decided) & nonascii & (
-            cnt * SCRIPT_THRESHOLD_DEN >= n_chars * SCRIPT_THRESHOLD_NUM
-        )
+        fire = (~decided) & nonascii & (cnt * den >= n_chars * num)
         out[fire] = lang
         decided |= fire
     scores = np.stack(
@@ -412,10 +434,9 @@ def detect_language_naive(texts: pd.Series) -> pd.Series:
     decided = n_chars < MIN_CHARS
 
     for lang, pat in SCRIPT_PATTERNS.items():
+        num, den = script_threshold(lang)
         cnt = t.str.count(pat).to_numpy(dtype=np.int64)
-        fire = (~decided) & (
-            cnt * SCRIPT_THRESHOLD_DEN >= n_chars * SCRIPT_THRESHOLD_NUM
-        )
+        fire = (~decided) & (cnt * den >= n_chars * num)
         out[fire] = lang
         decided |= fire
 

@@ -138,6 +138,35 @@ def with_mask_key(df: DataFrame) -> DataFrame:
     })
 
 
+def input_salt_decision(
+    df: DataFrame, target: int, skew_tolerance: float = 2.0,
+) -> int | None:
+    """Measured salt decision (VERDICT_r6 #1): probe the input's partition
+    layout with one cheap job and return ``None`` when the layout is already
+    acceptable — the featurize round-robin exchange is pure overhead on a
+    balanced input (docs/SCALE.md: salt is optional on bucketed Iceberg).
+
+    "Acceptable" = enough partitions to occupy the cluster (≥ target/2) AND
+    no partition more than ``skew_tolerance``× the mean (a whale conversation
+    sitting in one input file fails this and keeps the salt).  The probe is a
+    count-by-partition-id job: zero columns are read (parquet row-group
+    metadata serves the counts), and the result is one row per partition on
+    the driver.  On a real Iceberg table the same decision can be made from
+    file-size metadata without any job at all — this helper is the
+    sandbox-honest version that actually measures."""
+    sizes = [
+        r["cnt"] for r in
+        df.groupBy(F.spark_partition_id().alias("p"))
+          .agg(F.count("*").alias("cnt")).collect()
+    ]
+    if not sizes:
+        return None
+    mean = sum(sizes) / len(sizes)
+    if len(sizes) >= max(target // 2, 1) and max(sizes) <= skew_tolerance * mean:
+        return None
+    return target
+
+
 def featurize(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
     """Stage 1: per-turn features/lang/ppl/scrub in one Arrow round-trip.
 
@@ -388,6 +417,7 @@ def quality_filter(
     drop_text: bool = False,
     freq_source: str = "rescan",
     dict_salt_partitions: int | None = None,
+    auto_salt: bool = False,
 ) -> DataFrame:
     """Full pipeline: transcripts → labeled/scrubbed turns.
 
@@ -417,7 +447,17 @@ def quality_filter(
     scrubbed text is the deliverable at scale).  ``ordered`` is kept for API
     compatibility — output is always conversation-contiguous sorted (it
     falls out of the one shuffle).
+
+    ``auto_salt`` makes the featurize salt a MEASURED decision
+    (``input_salt_decision``): the round-robin exchange is kept only when
+    the input layout probe finds too few or skewed partitions; a balanced
+    input (bucketed Iceberg, a freshly-written parquet corpus) skips it,
+    removing one full-data exchange from the plan (docs/PLANS.md
+    §quality_filter_nosalt proves the shape; the whale corpus measurably
+    keeps the salt — test_auto_salt_decision).
     """
+    if auto_salt and salt_partitions:
+        salt_partitions = input_salt_decision(df, salt_partitions)
     feat = featurize(df, salt_partitions)
     if freq_source == "persist":
         from pyspark import StorageLevel
@@ -772,4 +812,16 @@ def run_with_checkpoints(
             .groupBy("file").agg(F.count("*").alias("rows"))
         )
         write_snapshot(lineage, out_dir, "lineage", config)
+        # INPUT-file lineage: per source-file row counts over the transcripts
+        # frame itself — at 100 TB the input is thousands of parquet files
+        # and audits need "which file contributed which rows" against the
+        # real file boundaries (input_file_name), not just the labels
+        # snapshot's own layout.  Non-file inputs (generators, cached
+        # frames) yield a single ''-keyed row; the many-file pytest asserts
+        # one row per real part file.
+        input_lineage = (
+            transcripts.select(F.input_file_name().alias("file"))
+            .groupBy("file").agg(F.count("*").alias("rows"))
+        )
+        write_snapshot(input_lineage, out_dir, "input_lineage", config)
     return labels

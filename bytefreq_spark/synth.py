@@ -26,6 +26,8 @@ _DE = ("der hund ist nicht in dem haus und ich habe eine frage mit der "
 _ES = ("el perro está en la casa y no se por que usted tiene una pregunta "
        "para los amigos con el libro del maestro").split()
 _ZH = list("数据质量分析引擎在大规模集群上运行每个会话的文本被打分")
+# realistic han/kana mix — the r7 kana tier must label this ja, not zh
+_JA = list("データの品質を分析するエンジンは大規模なクラスタで実行されます")
 _RU = "данные качество анализ движок работает на большом кластере текст".split()
 _EL = "τα δεδομένα ποιότητα ανάλυση μηχανή τρέχει σε μεγάλο σύμπλεγμα".split()
 _HI = "डेटा गुणवत्ता विश्लेषण इंजन बड़े क्लस्टर पर चलता है".split()
@@ -53,14 +55,26 @@ _KIND_NAMES = [k for k, _ in _KINDS]
 _KIND_P = np.array([w for _, w in _KINDS], dtype=np.float64)
 _KIND_P /= _KIND_P.sum()
 
-_WORDS = {"en": _EN, "fr": _FR, "de": _DE, "es": _ES, "zh": _ZH, "ru": _RU,
-          "el": _EL, "hi": _HI}
+_WORDS = {"en": _EN, "fr": _FR, "de": _DE, "es": _ES, "zh": _ZH, "ja": _JA,
+          "ru": _RU, "el": _EL, "hi": _HI}
+
+# Opt-in kind distribution for a NON-ASCII-HEAVY corpus (the r7 multilingual
+# bench row: ~45% of turns carry non-Latin scripts, so the non-ASCII scrub
+# and langid script tiers get priced instead of hiding behind an
+# ASCII-dominated mix).  The default _KINDS path is untouched — same rng
+# draws, bit-identical corpora.
+MULTILANG_KINDS = [
+    ("en", 18), ("fr", 5), ("de", 5), ("es", 5), ("zh", 12), ("ja", 10),
+    ("ru", 10), ("el", 7), ("hi", 7), ("boiler", 4), ("dup", 4),
+    ("gibberish", 4), ("pii", 6), ("empty", 2), ("weird", 3), ("long", 2),
+    ("digits", 2), ("toxic", 1),
+]
 
 
 def _sentence(rng: np.random.RandomState, lang: str, n: int) -> str:
     pool = _WORDS[lang]
     words = [pool[i] for i in rng.randint(0, len(pool), n)]
-    sep = "" if lang == "zh" else " "
+    sep = "" if lang in ("zh", "ja") else " "
     return sep.join(words)
 
 
@@ -102,15 +116,24 @@ def _gen_text(rng: np.random.RandomState, kind: str, prev: str) -> str:
 
 def gen_conversation(conv_serial: int, seed: int = SEED, skew_every: int = 997,
                      skew_len: int = 1500,
-                     doc_words: tuple[int, int] | None = None) -> pd.DataFrame:
+                     doc_words: tuple[int, int] | None = None,
+                     kinds: list[tuple[str, int]] | None = None) -> pd.DataFrame:
     """All turns of one conversation — pure function of (seed, serial).
 
     ``doc_words=(lo, hi)`` switches to a LONG-DOCUMENT corpus shape: each
     non-empty/non-dup turn is padded with a lo..hi-word English tail
     (10-50 KB texts at (1700, 8500)) while keeping the original kind marker
     (PII template, language prefix, boilerplate, ...) at the front so scrub,
-    langid and mask costs are exercised at long-text lengths.  The default
-    path draws the exact same rng sequence as before the flag existed."""
+    langid and mask costs are exercised at long-text lengths.  ``kinds``
+    swaps the turn-kind weight table (e.g. ``MULTILANG_KINDS`` for the
+    non-ASCII-heavy bench corpus).  The default path draws the exact same
+    rng sequence as before either flag existed."""
+    if kinds is None:
+        kind_names, kind_p = _KIND_NAMES, _KIND_P
+    else:
+        kind_names = [k for k, _ in kinds]
+        kind_p = np.array([w for _, w in kinds], dtype=np.float64)
+        kind_p = kind_p / kind_p.sum()
     rng = np.random.RandomState((seed * 1_000_003 + conv_serial) % (2 ** 31))
     # Zipf-ish length; every `skew_every`-th conversation is a whale (skew!)
     if skew_every and conv_serial % skew_every == skew_every - 1:
@@ -128,7 +151,7 @@ def gen_conversation(conv_serial: int, seed: int = SEED, skew_every: int = 997,
             role = "system"
         else:
             role = ["user", "assistant", "tool"][t % 3]
-        kind = _KIND_NAMES[rng.choice(len(_KIND_NAMES), p=_KIND_P)]
+        kind = kind_names[rng.choice(len(kind_names), p=kind_p)]
         text = _gen_text(rng, kind, prev)
         if doc_words is not None and kind not in ("empty", "dup"):
             tail = _sentence(rng, "en", int(rng.randint(*doc_words)))

@@ -38,6 +38,9 @@ ADVERSARIAL = [
     "der Hund ist nicht da für",    # de markers
     "el perro es un animal",        # es markers
     "一二三四五六七八九十" * 3,      # script tier
+    "これはテストです",              # hiragana → ja tier
+    "データ品質フィルタを実行します",   # katakana/han mix → ja
+    "漢字が九割を占める文章でも大丈夫",  # kanji-heavy ja (kana clears 10%)
     "Привет как дела сегодня",      # cyrillic
     "word " * 500,                  # long
     "x" * 3000,                     # over CAP_CHARS
@@ -76,6 +79,24 @@ def test_scrub_prefilter_is_conservative():
 def test_langid_fast_equals_naive():
     s = _series()
     assert detect_language(s).equals(detect_language_naive(s))
+
+
+def test_langid_ja_zh_boundary():
+    """Golden pinning the r7 kana tier: kana chars are unambiguously
+    Japanese, so the ja tier (10% kana) fires BEFORE the shared-han zh tier
+    (30% han).  The 10%-kana boundary is pinned exactly on both sides, on
+    both implementations."""
+    s = pd.Series([
+        "これはテストです",                  # kana-only → ja
+        "データの品質を分析します",            # han/kana mix → ja
+        "数据质量分析引擎在大规模集群上运行",      # pure han → zh
+        "カタカナ",                        # katakana block → ja
+        "漢字" * 9 + "の" + "漢",           # 1 kana / 20 chars = 5% → zh
+        "漢字" * 4 + "の" + "漢",           # 1 kana / 10 chars = 10% → ja
+    ])
+    fast, naive = detect_language(s), detect_language_naive(s)
+    assert fast.equals(naive)
+    assert fast.tolist() == ["ja", "ja", "zh", "ja", "zh", "ja"]
 
 
 def test_langid_script_range_boundaries():

@@ -684,3 +684,68 @@ def test_incremental_ingest_stream(spark, tmp_path):
     labels2 = read_snapshot(spark, out, "labels")
     assert labels2.count() == full.count()
     assert len(snapshot_versions(out, "labels")) == n_versions
+
+
+def test_drop_text_equals_default_projection(spark, corpus_pdf):
+    """VERDICT_r6 #2: the at-scale config end-to-end — quality_filter(
+    drop_text=True) must equal the default run projected to the surviving
+    columns, over the standard corpus (which includes non-ASCII, scrubbed,
+    NULL-tool and empty-text rows), not just the dup-flag core."""
+    df = spark.createDataFrame(corpus_pdf)
+    full = quality_filter(df, salt_partitions=8).toPandas()
+    dropped = quality_filter(df, salt_partitions=8, drop_text=True).toPandas()
+    surviving = [c for c in full.columns if c not in ("text", "tool", "lu_key")]
+    assert sorted(dropped.columns) == sorted(surviving)
+    key = ["conv_id", "turn_idx"]
+    a = full[surviving].sort_values(key).reset_index(drop=True)
+    b = dropped[surviving].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_auto_salt_decision(spark):
+    """The r7 measured salt-skip (VERDICT_r6 #1): a balanced layout skips
+    the featurize round-robin exchange, a whale-skewed layout keeps it, and
+    auto_salt=True output is identical to the always-salted run."""
+    from bytefreq_spark.pipeline import input_salt_decision
+    from bytefreq_spark.synth import gen_transcripts_pandas as gen
+
+    pdf = gen(120)
+    df = spark.createDataFrame(pdf).repartition(8)
+    assert input_salt_decision(df, 8) is None  # balanced round-robin → skip
+
+    whale = gen(30, skew_every=30, skew_len=3000)
+    wdf = spark.createDataFrame(whale).repartition(8, "conv_id")
+    assert input_salt_decision(wdf, 8) == 8    # one fat partition → salt
+
+    key = ["conv_id", "turn_idx"]
+    out_a = (quality_filter(df, salt_partitions=8, auto_salt=True)
+             .toPandas().sort_values(key).reset_index(drop=True))
+    out_b = (quality_filter(df, salt_partitions=8)
+             .toPandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out_a, out_b)
+
+
+def test_input_lineage_many_files(spark, tmp_path):
+    """VERDICT_r6 #6: a 100 TB run starts as thousands of parquet files —
+    the input-lineage table must pick up the REAL file boundaries
+    (input_file_name), one row per part file, rows summing to the corpus."""
+    import glob
+    import os as _os
+
+    src = str(tmp_path / "src")
+    gen_transcripts_spark(spark, 60, partitions=4).repartition(6).write.parquet(src)
+    part_files = glob.glob(src + "/part-*.parquet")
+    assert len(part_files) == 6
+
+    tr = spark.read.parquet(src)
+    out_dir = str(tmp_path / "ckpt_lineage")
+    run_with_checkpoints(spark, tr, out_dir, salt_partitions=8)
+
+    from bytefreq_spark.pipeline import read_snapshot
+
+    lin = read_snapshot(spark, out_dir, "input_lineage").toPandas()
+    assert len(lin) == len(part_files)
+    assert {_os.path.basename(f) for f in lin["file"]} == {
+        _os.path.basename(p) for p in part_files
+    }
+    assert int(lin["rows"].sum()) == tr.count()

@@ -57,7 +57,7 @@ def _prepare_corpora(spark, sf: float, root: str) -> dict[str, dict]:
     re-establish an input with a cheap parquet read + cache instead of a
     full regeneration (the r5 harness regenerated the 1.86M-turn corpus
     inside the sweep — heat that contaminated unrelated rows)."""
-    from bytefreq_spark.synth import gen_transcripts_spark
+    from bytefreq_spark.synth import MULTILANG_KINDS, gen_transcripts_spark
 
     n_convs = max(int(sf * 100000), 200)
     specs = {
@@ -125,7 +125,8 @@ def _cached(spark, path: str):
     return df
 
 
-def bench_queries(spark, sf_dir: str, corpus_root: str):
+def bench_queries(spark, sf_dir: str, corpus_root: str,
+                  ambient: float | None = None):
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry
@@ -171,6 +172,11 @@ def bench_queries(spark, sf_dir: str, corpus_root: str):
     t_prep = time.time()
     corpora = _prepare_corpora(spark, sf, corpus_root)
     timings["_prepare_sec"] = round(time.time() - t_prep, 3)
+    # let the generation burst's loadavg decay before the first timed row
+    # (VERDICT_r6 #4) — the cooldown wall is recorded, not hidden
+    t_cool = time.time()
+    _cooldown(ambient if ambient is not None else 2.0)
+    timings["_cooldown_sec"] = round(time.time() - t_cool, 3)
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -316,6 +322,16 @@ def bench_queries(spark, sf_dir: str, corpus_root: str):
             state["tr"], salt_partitions=CPUS * 2, drop_text=True)),
         clear_cache=True, restore=_restore_flagship)
 
+    # measured salt-skip (VERDICT_r6 #1): the flagship corpus is balanced
+    # (32 even generator partitions), so the auto_salt probe skips the
+    # featurize round-robin — same job with ONE FEWER full-data exchange
+    # (plan audit §quality_filter_nosalt); the delta vs the flagship row is
+    # the measured price of the salt on an input that doesn't need it
+    run("quality_filter_autosalt",
+        lambda: _materialize(quality_filter(
+            state["tr"], salt_partitions=CPUS * 2, auto_salt=True)),
+        clear_cache=True, restore=_restore_flagship)
+
     # freq_source strategy comparison (see quality_filter docstring): the
     # dictionary's second-look cost as rescan-input vs persist-featurized
     run("quality_filter_persist",
@@ -363,6 +379,25 @@ def bench_queries(spark, sf_dir: str, corpus_root: str):
         ld_mb / timings["quality_filter_longdocs"], 1)
     lstate["df"].unpersist()
 
+    # non-ASCII-heavy corpus (VERDICT_r6 #5): same conversation count as the
+    # flagship, ~45% non-Latin turns — every such turn takes the Python
+    # scrub kernel (flag 2) and the langid script tiers, so the delta vs the
+    # flagship row prices the non-ASCII branch the ASCII corpora never pay
+    mlstate = {"df": _cached(spark, corpora["multilang"]["path"])}
+
+    def _restore_multilang():
+        mlstate["df"] = _cached(spark, corpora["multilang"]["path"])
+
+    run("quality_filter_multilang",
+        lambda: _materialize(quality_filter(
+            mlstate["df"], salt_partitions=CPUS * 2)),
+        clear_cache=True, restore=_restore_multilang)
+    n_ml = corpora["multilang"]["turns"]
+    timings["_multilang_turns"] = n_ml
+    timings["_multilang_turns_per_sec"] = round(
+        n_ml / timings["quality_filter_multilang"], 1)
+    mlstate["df"].unpersist()
+
     # ---- sf1 block (heaviest rows LAST — their heat cannot contaminate
     # the rows above) ------------------------------------------------------
     # one order-of-magnitude scale step for the flagship: the same job on a
@@ -381,7 +416,30 @@ def bench_queries(spark, sf_dir: str, corpus_root: str):
     n1 = corpora["sf1"]["turns"]
     timings["_sf1_turns"] = n1
     timings["_sf1_turns_per_sec"] = round(n1 / timings["quality_filter_sf1"], 1)
+
+    # the at-scale config at the scale that shows it (VERDICT_r6 #2): at
+    # sf0.1 the 60 MB shuffle hides the drop_text pruning; on the 10×
+    # corpus the wide conversation exchange is big enough that shipping
+    # hash-only (no raw text/tool) must come in at or below the default wall
+    run("quality_filter_droptext_sf1",
+        lambda: _materialize(quality_filter(
+            s1["df"], salt_partitions=CPUS * 2, drop_text=True)),
+        clear_cache=True, restore=_restore_sf1)
+    timings["_droptext_sf1_turns_per_sec"] = round(
+        n1 / timings["quality_filter_droptext_sf1"], 1)
     s1["df"].unpersist()
+
+    # many-file scan (VERDICT_r6 #6): the same sf1 corpus as ~256 parquet
+    # files, read UNCACHED from disk each rep — a 100 TB run starts as
+    # thousands of files, and with freq_source="rescan" this row pays the
+    # honest double scan (featurize + dictionary) off the file layout
+    run("quality_filter_sf1_files256",
+        lambda: _materialize(quality_filter(
+            spark.read.parquet(corpora["sf1_files256"]["path"]),
+            salt_partitions=CPUS * 2)),
+        clear_cache=True)
+    timings["_sf1_files256_turns_per_sec"] = round(
+        n1 / timings["quality_filter_sf1_files256"], 1)
 
     # whale at sf1 ambient (VERDICT_r5 ask): the same 10^5-turn whale inside
     # the 10x corpus — the salt/composite-key skew handling must hold when
@@ -430,7 +488,8 @@ def run_bench() -> dict:
     corpus_root = tempfile.mkdtemp(prefix="bytefreq_bench_corpora_")
     t0 = time.time()
     try:
-        timings, loads = bench_queries(spark, SF_DIR, corpus_root)
+        timings, loads = bench_queries(spark, SF_DIR, corpus_root,
+                                       ambient=load_before[0])
     finally:
         shutil.rmtree(corpus_root, ignore_errors=True)
     total = round(time.time() - t0, 3)
@@ -448,10 +507,15 @@ def run_bench() -> dict:
         # untimed corpus generation+persist (included in `value`'s wall):
         # subtract for the pure query sweep
         "prepare_sec": timings.get("_prepare_sec"),
+        "cooldown_sec": timings.get("_cooldown_sec"),
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
         "turns": timings.get("_turns"),
         "turns_per_sec": timings.get("_turns_per_sec"),
+        "multilang_turns": timings.get("_multilang_turns"),
+        "multilang_turns_per_sec": timings.get("_multilang_turns_per_sec"),
+        "droptext_sf1_turns_per_sec": timings.get("_droptext_sf1_turns_per_sec"),
+        "sf1_files256_turns_per_sec": timings.get("_sf1_files256_turns_per_sec"),
         "sf1_turns": timings.get("_sf1_turns"),
         "sf1_turns_per_sec": timings.get("_sf1_turns_per_sec"),
         "whale_turns": timings.get("_whale_turns"),

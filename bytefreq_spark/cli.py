@@ -25,6 +25,14 @@ def main(argv: list[str] | None = None) -> int:
     qf.add_argument("--input", required=True, help="parquet dir / table of transcripts")
     qf.add_argument("--output", required=True)
     qf.add_argument("--salt-partitions", type=int, default=None)
+    qf.add_argument("--auto-salt", action="store_true",
+                    help="probe the input layout and skip the featurize "
+                         "salt exchange when partitions are already "
+                         "balanced (see pipeline.input_salt_decision)")
+    qf.add_argument("--drop-text", action="store_true",
+                    help="drop raw text/tool from the output (the at-scale "
+                         "config: scrubbed text is the deliverable, and the "
+                         "wide conversation shuffle halves)")
     qf.add_argument("--checkpoint-dir", default=None)
     qf.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     qf.add_argument("--freq-source", default="rescan",
@@ -130,7 +138,9 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             out = quality_filter(df, salt_partitions=args.salt_partitions,
-                                 freq_source=args.freq_source)
+                                 freq_source=args.freq_source,
+                                 drop_text=args.drop_text,
+                                 auto_salt=args.auto_salt)
         writer = out.write.mode("overwrite")
         if args.format == "iceberg":
             writer.format("iceberg").save(args.output)

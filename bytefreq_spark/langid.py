@@ -42,7 +42,8 @@ import pandas as pd
 # han characters are shared — the kana ratio decides ja vs zh (VERDICT_r6
 # ask #3: labeling all Japanese as ``zh`` mis-routed an entire language).
 SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
-    "ja": ((0x3040, 0x309F), (0x30A0, 0x30FF)),  # hiragana, katakana
+    # hiragana, katakana, halfwidth katakana — all unambiguously Japanese
+    "ja": ((0x3040, 0x309F), (0x30A0, 0x30FF), (0xFF66, 0xFF9F)),
     "zh": ((0x3400, 0x4DBF), (0x4E00, 0x9FFF)),  # han (shared CJK ideographs)
     "ru": ((0x0400, 0x04FF),),
     "el": ((0x0370, 0x03FF),),

@@ -152,6 +152,24 @@ def main():
          and "_text_h#" in _layout_exchange_cols(p)),
     ])
 
+    # 4c. auto-salt skip (r7): on a balanced input the probe returns None
+    # and the plan must lose the featurize round-robin exchange entirely —
+    # ONE full-data exchange (the conversation layout) instead of two.
+    # Audited via salt_partitions=None, which is bit-identically the plan
+    # auto_salt=True produces after a skip decision (the probe job itself
+    # is separate and leaves no trace in this plan).
+    qf_nosalt = quality_filter(tr, salt_partitions=None, ordered=False)
+    audit("quality_filter_nosalt", qf_nosalt, [
+        ("no round-robin salt exchange",
+         lambda p: "RoundRobinPartitioning" not in p),
+        ("exactly ONE full-data exchange (the conversation layout)",
+         lambda p: len(re.findall(r"hashpartitioning\(conv_id", p)) >= 1
+         and len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+         == len(re.findall(r"^\(\d+\) Exchange", plan_of(qf), re.M)) - 1),
+        ("still exactly 1 arrow UDF stage",
+         lambda p: len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1),
+    ])
+
     # 5. window top-k
     audit("window_topk", entry.q_top_orders_window(spark, SF_DIR), [
         ("window + running filter", lambda p: "Window" in p),

@@ -427,6 +427,21 @@ def bench_queries(spark, sf_dir: str, corpus_root: str,
         clear_cache=True, restore=_restore_sf1)
     timings["_droptext_sf1_turns_per_sec"] = round(
         n1 / timings["quality_filter_droptext_sf1"], 1)
+
+    # the FULL at-scale config — auto_salt AND drop_text together, the two
+    # measured r7 levers and exactly what the scaling exhibit runs
+    # (docs/SCALE.md): the layout probe (in the timing) skips the featurize
+    # round-robin on this balanced input and raw text stays off the
+    # conversation exchange.  This is the headline "what a 10^12-turn job
+    # would actually run" row; the deltas vs quality_filter_sf1 price the
+    # two exchanges separately (droptext row) and combined (this row)
+    run("quality_filter_atscale_sf1",
+        lambda: _materialize(quality_filter(
+            s1["df"], salt_partitions=CPUS * 2, auto_salt=True,
+            drop_text=True)),
+        clear_cache=True, restore=_restore_sf1)
+    timings["_atscale_sf1_turns_per_sec"] = round(
+        n1 / timings["quality_filter_atscale_sf1"], 1)
     s1["df"].unpersist()
 
     # many-file scan (VERDICT_r6 #6): the same sf1 corpus as ~256 parquet

@@ -2,8 +2,9 @@
 
 Defaults mirror what we would set on a 1000-executor cluster (AQE on, skew-join
 handling, Arrow for pandas-UDF stages); parallelism is parameterized so the
-bench harness can run the identical job at two parallelism levels (local[8] vs
-local[32]) for the scaling-efficiency evidence (BASELINE.md targets).
+bench harness can run the identical job at two parallelism levels (local[1] vs
+local[4] — the N-vs-4N pair inside this host's DRAM-bandwidth envelope, see
+BENCH/BASELINE.md) for the scaling-efficiency evidence.
 """
 
 from __future__ import annotations

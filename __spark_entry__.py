@@ -1377,6 +1377,17 @@ def _iso3_case_sql(expr: str) -> str:
     return f"(CASE {expr} {whens} END)"
 
 
+def _langid_feature_projection() -> str:
+    """The oracle's `j` CTE feature columns, derived from the SAME
+    LANGID_FEATURE_COLS constant as the staged schema and the generated
+    CASE — a langid tier addition (e.g. a new script range) cannot desync
+    the projection from the cascade that reads it (r7 review: this list
+    was the one remaining hardcoded copy)."""
+    from bytefreq_spark.langid import LANGID_FEATURE_COLS
+
+    return ", ".join(f"s.{c}" for c in LANGID_FEATURE_COLS)
+
+
 def oracle_sql() -> dict[str, str]:
     from bytefreq_spark.textstats import BPE_SPLIT_RE
 
@@ -1397,9 +1408,7 @@ def oracle_sql() -> dict[str, str]:
               -- Spark job lost never reaches the staged features, leaving
               -- an extra 'und' row here -> row-count/hash red
               SELECT doc.doc_id AS doc_id, doc.lang AS lang,
-                     s.n_chars, s.is_ascii, s.ja_cnt, s.zh_cnt, s.ru_cnt,
-                     s.el_cnt, s.hi_cnt, s.en_score, s.fr_score, s.de_score,
-                     s.es_score
+                     {_langid_feature_projection()}
               FROM documents doc LEFT JOIN s ON doc.doc_id = s.doc_id
             ), dup AS (
               -- duplicate-key guard (ADVICE r6): a document staged TWICE

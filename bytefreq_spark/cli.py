@@ -135,6 +135,8 @@ def main(argv: list[str] | None = None) -> int:
             out = run_with_checkpoints(
                 spark, df, args.checkpoint_dir,
                 salt_partitions=args.salt_partitions,
+                drop_text=args.drop_text,
+                auto_salt=args.auto_salt,
             )
         else:
             out = quality_filter(df, salt_partitions=args.salt_partitions,

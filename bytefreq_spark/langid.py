@@ -4,9 +4,12 @@ deterministic and SQL-free).
 Two-tier classifier over a pandas Series of texts (no per-row Python — all
 operations are C-level pandas/numpy):
 
-1. **Script tier**: character-class ratios (CJK / Cyrillic / Greek /
-   Devanagari) computed with vectorized regex counts → zh / ru / el / hi.
-   Runs only on the non-ASCII subset (``str.isascii`` fast path — pure-ASCII
+1. **Script tier**: character-class ratios (kana / han-CJK / Cyrillic /
+   Greek / Devanagari, in that priority order) computed with vectorized
+   regex counts → ja / zh / ru / el / hi, each against its per-language
+   threshold (``SCRIPT_THRESHOLDS``; kana is unambiguously Japanese so
+   ``ja`` fires at 10% ahead of the han-only ``zh`` tier at 30%).  Runs
+   only on the non-ASCII subset (``str.isascii`` fast path — pure-ASCII
    text cannot contain script-tier characters).
 2. **Latin tier**: per-language marker-token hit rates (the high-weight
    features a fastText supervised model learns for closely related Latin

@@ -147,24 +147,36 @@ def input_salt_decision(
     balanced input (docs/SCALE.md: salt is optional on bucketed Iceberg).
 
     "Acceptable" = enough partitions to occupy the cluster (≥ target/2) AND
-    no partition more than ``skew_tolerance``× the mean (a whale conversation
-    sitting in one input file fails this and keeps the salt).  The probe is a
-    count-by-partition-id job: zero columns are read (parquet row-group
-    metadata serves the counts), and the result is one row per partition on
-    the driver.  On a real Iceberg table the same decision can be made from
-    file-size metadata without any job at all — this helper is the
-    sandbox-honest version that actually measures."""
-    sizes = [
-        r["cnt"] for r in
-        df.groupBy(F.spark_partition_id().alias("p"))
-          .agg(F.count("*").alias("cnt")).collect()
-    ]
-    if not sizes:
+    no partition more than ``skew_tolerance``× the mean by EITHER row count
+    or text bytes — a whale conversation is whale-shaped in rows, but a
+    longdocs-style file is whale-shaped in bytes at balanced row counts,
+    and both starve the featurize stage (r7 review: the original
+    rows-only probe passed the byte-skewed shape).  The probe is one
+    aggregate-by-partition-id job, column-pruned to ``text`` lengths and
+    JVM-only; the result is one row per partition on the driver.  On a
+    real Iceberg table the same decision can be made from file-size
+    metadata without any job at all — this helper is the sandbox-honest
+    version that actually measures."""
+    aggs = [F.count("*").alias("cnt")]
+    has_text = "text" in df.columns
+    if has_text:
+        aggs.append(
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).alias("chars"))
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("p")).agg(*aggs).collect()
+    )
+    if not rows:
         return None
-    mean = sum(sizes) / len(sizes)
-    if len(sizes) >= max(target // 2, 1) and max(sizes) <= skew_tolerance * mean:
-        return None
-    return target
+
+    def _balanced(vals: list) -> bool:
+        mean = sum(vals) / len(vals)
+        return mean == 0 or max(vals) <= skew_tolerance * mean
+
+    ok = len(rows) >= max(target // 2, 1) and _balanced(
+        [r["cnt"] for r in rows])
+    if ok and has_text:
+        ok = _balanced([r["chars"] for r in rows])
+    return None if ok else target
 
 
 def featurize(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
@@ -454,10 +466,18 @@ def quality_filter(
     input (bucketed Iceberg, a freshly-written parquet corpus) skips it,
     removing one full-data exchange from the plan (docs/PLANS.md
     §quality_filter_nosalt proves the shape; the whale corpus measurably
-    keeps the salt — test_auto_salt_decision).
+    keeps the salt — test_auto_salt_decision).  With no explicit
+    ``salt_partitions`` the probe targets 2× the session's default
+    parallelism, so ``auto_salt=True`` alone is a complete config.
     """
-    if auto_salt and salt_partitions:
-        salt_partitions = input_salt_decision(df, salt_partitions)
+    if auto_salt:
+        # without an explicit salt_partitions the probe still runs, against
+        # a cluster-sized default target — otherwise `auto_salt=True` alone
+        # (the CLI's --auto-salt) would silently never protect a skewed
+        # input (r7 review)
+        target = salt_partitions or (
+            df.sparkSession.sparkContext.defaultParallelism * 2)
+        salt_partitions = input_salt_decision(df, target)
     feat = featurize(df, salt_partitions)
     if freq_source == "persist":
         from pyspark import StorageLevel
@@ -764,18 +784,44 @@ def snapshot_valid(out_dir: str, name: str, config: dict) -> bool:
     return cur.get("config") == config
 
 
+def _file_lineage(df: DataFrame) -> DataFrame:
+    """Per source-file row counts (`input_file_name`).  Non-file inputs
+    (generators, cached frames) yield a single ''-keyed row; the many-file
+    pytest asserts one row per real part file."""
+    return (
+        df.select(F.input_file_name().alias("file"))
+        .groupBy("file").agg(F.count("*").alias("rows"))
+    )
+
+
 def run_with_checkpoints(
     spark: SparkSession,
     transcripts: DataFrame,
     out_dir: str,
     config: dict | None = None,
     salt_partitions: int | None = None,
+    drop_text: bool = False,
+    auto_salt: bool = False,
 ) -> DataFrame:
     """Resumable run: each stage materializes a snapshot; a restart reloads
     completed stages (manifest + config fingerprint match) instead of
-    recomputing — the sandbox stand-in for Iceberg snapshot checkpoints."""
+    recomputing — the sandbox stand-in for Iceberg snapshot checkpoints.
+
+    ``drop_text`` / ``auto_salt`` mirror :func:`quality_filter` (r7 review:
+    the CLI accepted both flags but this path silently ignored them): the
+    salt decision is resolved BEFORE the config fingerprint, so a resume
+    whose input layout now probes differently recomputes instead of
+    silently reusing a snapshot built under the other plan, and with
+    ``drop_text`` the labels snapshot carries scrubbed text only (raw
+    text/tool never cross the conversation exchange — same hashed dup-lag
+    as quality_filter)."""
     os.makedirs(out_dir, exist_ok=True)
-    config = dict(config or {}, version=1, salt=salt_partitions)
+    if auto_salt:
+        target = salt_partitions or (
+            spark.sparkContext.defaultParallelism * 2)
+        salt_partitions = input_salt_decision(transcripts, target)
+    config = dict(config or {}, version=1, salt=salt_partitions,
+                  drop_text=drop_text)
 
     if snapshot_valid(out_dir, "featurized", config):
         feat = read_snapshot(spark, out_dir, "featurized")
@@ -788,15 +834,30 @@ def run_with_checkpoints(
         labels = read_snapshot(spark, out_dir, "labels")
         labels_resumed = True
     else:
-        laid_out = conversation_layout(with_mask_frequency(feat))
-        labels = with_decision(with_dup_flag(laid_out))
+        pre = with_mask_frequency(feat)
+        if drop_text:
+            # hashed dup-lag so the raw columns can be pruned before the
+            # wide exchange — identical decisions (differential-tested in
+            # test_drop_text_equals_default_projection)
+            pre = pre.withColumn(
+                "_text_h",
+                F.when(F.col("text").isNotNull(), F.xxhash64("text")),
+            ).drop("text", "tool")
+            labels = with_decision(
+                with_dup_flag_hashed(conversation_layout(pre))
+            ).drop("_text_h", "lu_key")
+        else:
+            labels = with_decision(with_dup_flag(conversation_layout(pre)))
         write_snapshot(labels, out_dir, "labels", config)
         labels = read_snapshot(spark, out_dir, "labels")
         labels_resumed = False
 
     # metrics + lineage tables alongside the labels snapshot — derived
     # output, so a fully-resumed run skips rewriting them (otherwise every
-    # resume would append another identical snapshot version)
+    # resume would append another identical snapshot version).  Each is
+    # validity-checked INDIVIDUALLY (r7 review): a crash between the
+    # metrics commit and the lineage commits must leave a resumable gap,
+    # not a permanently missing table.
     if not labels_resumed or not snapshot_valid(out_dir, "metrics", config):
         metrics = (
             labels.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -807,21 +868,14 @@ def run_with_checkpoints(
             )
         )
         write_snapshot(metrics, out_dir, "metrics", config)
-        lineage = (
-            labels.select(F.input_file_name().alias("file"))
-            .groupBy("file").agg(F.count("*").alias("rows"))
-        )
-        write_snapshot(lineage, out_dir, "lineage", config)
-        # INPUT-file lineage: per source-file row counts over the transcripts
-        # frame itself — at 100 TB the input is thousands of parquet files
-        # and audits need "which file contributed which rows" against the
-        # real file boundaries (input_file_name), not just the labels
-        # snapshot's own layout.  Non-file inputs (generators, cached
-        # frames) yield a single ''-keyed row; the many-file pytest asserts
-        # one row per real part file.
-        input_lineage = (
-            transcripts.select(F.input_file_name().alias("file"))
-            .groupBy("file").agg(F.count("*").alias("rows"))
-        )
-        write_snapshot(input_lineage, out_dir, "input_lineage", config)
+    if not labels_resumed or not snapshot_valid(out_dir, "lineage", config):
+        write_snapshot(_file_lineage(labels), out_dir, "lineage", config)
+    # INPUT-file lineage: per source-file row counts over the transcripts
+    # frame itself — at 100 TB the input is thousands of parquet files and
+    # audits need "which file contributed which rows" against the real
+    # file boundaries, not just the labels snapshot's own layout.
+    if not labels_resumed or not snapshot_valid(
+            out_dir, "input_lineage", config):
+        write_snapshot(
+            _file_lineage(transcripts), out_dir, "input_lineage", config)
     return labels

@@ -749,3 +749,97 @@ def test_input_lineage_many_files(spark, tmp_path):
         _os.path.basename(p) for p in part_files
     }
     assert int(lin["rows"].sum()) == tr.count()
+
+
+def test_input_salt_decision_byte_skew(spark):
+    """r7 review: a byte-skewed but row-balanced input must KEEP the salt —
+    a longdocs-style fat partition starves featurize just like a fat-row
+    one, and the rows-only probe used to wave it through."""
+    from bytefreq_spark.pipeline import input_salt_decision
+
+    small = pd.DataFrame({"text": ["hello world"] * 70})
+    big = pd.DataFrame({"text": ["x" * 20000] * 10})
+    sdf = spark.createDataFrame(small).repartition(7)
+    # union preserves child partitioning: 7 short partitions + 1 partition
+    # with the SAME row count carrying ~200x the bytes
+    skewed = sdf.unionByName(spark.createDataFrame(big).coalesce(1))
+    assert input_salt_decision(skewed, 8) == 8
+
+    # control: the same 7+1 layout with short texts everywhere passes
+    ctrl = sdf.unionByName(
+        spark.createDataFrame(
+            pd.DataFrame({"text": ["hello world"] * 10})).coalesce(1))
+    assert input_salt_decision(ctrl, 8) is None
+
+
+def test_auto_salt_default_target(spark):
+    """r7 review: auto_salt=True with no salt_partitions must still probe
+    (against a parallelism-derived target) and produce identical output —
+    previously it was a silent no-op."""
+    pdf = gen_transcripts_pandas(100)
+    df = spark.createDataFrame(pdf).repartition(8)
+    key = ["conv_id", "turn_idx"]
+    out_a = (quality_filter(df, auto_salt=True)
+             .toPandas().sort_values(key).reset_index(drop=True))
+    out_b = (quality_filter(df, salt_partitions=8)
+             .toPandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out_a, out_b)
+
+
+def test_checkpoint_drop_text_and_auto_salt(spark, corpus_pdf):
+    """r7 review: the CLI forwards --drop-text/--auto-salt to the
+    checkpointed path — it must behave like quality_filter's at-scale
+    config, not silently ignore the flags."""
+    import tempfile as _tf
+
+    df = spark.createDataFrame(corpus_pdf)
+    tmp = _tf.mkdtemp(prefix="bfq_ckpt_at_")
+    try:
+        labels = run_with_checkpoints(
+            spark, df, tmp, salt_partitions=8,
+            drop_text=True, auto_salt=True,
+        ).toPandas()
+        for gone in ("text", "tool", "lu_key"):
+            assert gone not in labels.columns
+        full = quality_filter(df, salt_partitions=8).toPandas()
+        key = ["conv_id", "turn_idx"]
+        a = labels.sort_values(key).reset_index(drop=True)
+        b = full.sort_values(key).reset_index(drop=True)
+        assert (a["keep"] == b["keep"]).all()
+        assert (a["scrubbed_text"].fillna("")
+                == b["scrubbed_text"].fillna("")).all()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_checkpoint_lineage_resume_gap(spark, tmp_path):
+    """r7 review: a crash between the metrics commit and the lineage
+    commits must leave a RESUMABLE gap — the next run rewrites only the
+    missing snapshot (no duplicate versions of the ones that committed)."""
+    import os as _os
+
+    from bytefreq_spark.pipeline import read_snapshot, snapshot_valid
+
+    df = gen_transcripts_spark(spark, 40, partitions=4)
+    out = str(tmp_path / "ckpt_gap")
+    run_with_checkpoints(spark, df, out, salt_partitions=8)
+
+    import json as _json
+
+    def _current(name):
+        with open(_os.path.join(out, f"{name}.manifest.json")) as f:
+            return _json.load(f)["current"]
+
+    before = {n: _current(n) for n in ("labels", "metrics", "lineage")}
+    # simulate the crash: the manifest IS the commit point, so removing it
+    # is exactly "metrics committed, input_lineage never did"
+    _os.remove(_os.path.join(out, "input_lineage.manifest.json"))
+
+    labels = run_with_checkpoints(spark, df, out, salt_partitions=8)
+    cfg = {"version": 1, "salt": 8, "drop_text": False}
+    assert snapshot_valid(out, "input_lineage", cfg)
+    lin = read_snapshot(spark, out, "input_lineage").toPandas()
+    assert int(lin["rows"].sum()) == labels.count()
+    # the already-committed tables were NOT re-appended
+    for n, v in before.items():
+        assert _current(n) == v

@@ -540,7 +540,11 @@ def run_incremental(
     (bytefreq's tally is just counts): ``freq(N+1) = freq(N) ⊎ tally(new
     turns)`` — exactly equal to a full-corpus recompute (asserted in
     test_run_incremental), with only the new turns scanned.  Crash safety:
-    the labels table is the ONLY commit point (it retains ``lu_key``); the
+    the labels table is the ONLY commit point (it retains ``lu_key`` —
+    which is also why this path deliberately offers no ``drop_text``: the
+    freq snapshot is rebuilt from labels on a validity mismatch, so the
+    mask key must survive in the committed table; run the checkpointed or
+    one-shot pipeline for the text-free output shape); the
     freq snapshot is a derived cache validity-keyed to the labels version,
     rebuilt from labels whenever the key mismatches — a failure between the
     labels and freq commits can never double- or under-count.  New

@@ -165,18 +165,33 @@ def input_salt_decision(
     rows = (
         df.groupBy(F.spark_partition_id().alias("p")).agg(*aggs).collect()
     )
-    if not rows:
-        return None
+    ok = _layout_acceptable(
+        [r["cnt"] for r in rows],
+        [r["chars"] for r in rows] if has_text else None,
+        target, skew_tolerance,
+    )
+    return None if ok else target
+
+
+def _layout_acceptable(
+    counts: list, chars: list | None, target: int,
+    skew_tolerance: float = 2.0,
+) -> bool:
+    """Pure decision core of :func:`input_salt_decision` (property-tested):
+    acceptable iff there are enough partitions to occupy the cluster AND
+    the layout is balanced by rows AND (when known) by bytes."""
+    if not counts:
+        return True
 
     def _balanced(vals: list) -> bool:
         mean = sum(vals) / len(vals)
         return mean == 0 or max(vals) <= skew_tolerance * mean
 
-    ok = len(rows) >= max(target // 2, 1) and _balanced(
-        [r["cnt"] for r in rows])
-    if ok and has_text:
-        ok = _balanced([r["chars"] for r in rows])
-    return None if ok else target
+    return (
+        len(counts) >= max(target // 2, 1)
+        and _balanced(counts)
+        and (chars is None or _balanced(chars))
+    )
 
 
 def featurize(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:

@@ -159,3 +159,52 @@ def test_xlsx_round_trip_property(rows, shared):
     width = max(len(r) for r in trimmed)
     expect = [r + [""] * (width - len(r)) for r in trimmed]
     assert got == expect
+
+
+# --- salt-probe decision core (r7: byte-aware layout acceptance) ----------
+
+SIZES = st.lists(st.integers(min_value=0, max_value=10**9),
+                 min_size=1, max_size=64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(SIZES, st.integers(min_value=1, max_value=128))
+def test_layout_rejects_row_whale(counts, target):
+    """Any layout with a >2x-mean row partition must keep the salt."""
+    from bytefreq_spark.pipeline import _layout_acceptable
+
+    mean = sum(counts) / len(counts)
+    if mean > 0 and max(counts) > 2.0 * mean:
+        assert not _layout_acceptable(counts, None, target)
+
+
+@settings(max_examples=200, deadline=None)
+@given(SIZES, SIZES, st.integers(min_value=1, max_value=128))
+def test_layout_rejects_byte_whale_rows_balanced(counts, chars, target):
+    """Byte skew alone must keep the salt even when rows are balanced —
+    the r7 review's longdocs shape, generalized."""
+    from bytefreq_spark.pipeline import _layout_acceptable
+
+    n = min(len(counts), len(chars))
+    counts, chars = [1000] * n, chars[:n]  # rows perfectly balanced
+    mean = sum(chars) / n
+    if mean > 0 and max(chars) > 2.0 * mean:
+        assert not _layout_acceptable(counts, chars, target)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=64),
+       st.integers(min_value=1, max_value=128),
+       st.integers(min_value=0, max_value=10**6))
+def test_layout_accepts_uniform_when_wide_enough(n_parts, target, size):
+    """A perfectly uniform layout is acceptable iff it has >= target/2
+    partitions — and the decision is invariant under scaling all sizes."""
+    from bytefreq_spark.pipeline import _layout_acceptable
+
+    counts = [size] * n_parts
+    chars = [size * 37] * n_parts
+    want = n_parts >= max(target // 2, 1)
+    assert _layout_acceptable(counts, chars, target) is want
+    assert _layout_acceptable(
+        [c * 1000 for c in counts], [c * 1000 for c in chars], target
+    ) is want

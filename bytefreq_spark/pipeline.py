@@ -39,7 +39,7 @@ from pyspark.sql.types import (
 from .langid import detect_language
 from .perplexity import perplexity
 from .quality import decide, text_features
-from .scrub import scrub_series
+from .scrub import scrub_series_sparse
 
 FEATURE_SCHEMA = StructType([
     StructField("lu_key", StringType()),
@@ -60,9 +60,7 @@ DECISION_SCHEMA = StructType([
 
 def _featurize_udf():
     @F.pandas_udf(FEATURE_SCHEMA)
-    def feats(
-        text: pd.Series, scrub_pre: pd.Series, scrub_flag: pd.Series
-    ) -> pd.DataFrame:
+    def feats(text: pd.Series, scrub_flag: pd.Series) -> pd.DataFrame:
         # lu_key from the PYTHON kernel: the vectorized run-collapse costs
         # ~13 µs core/turn vs ~87 µs for the JVM regexp chain (docs/PLANS.md
         # §lu_key_mask_cost) — the featurize stage pays whichever engine
@@ -74,24 +72,27 @@ def _featurize_udf():
         f["lang"] = detect_language(text)
         f["ppl"] = perplexity(text)
         # three-state scrub protocol (flags set JVM-side in ``featurize``):
-        # 0 = clean ASCII — no rule can match (prefilter), scrub ≡ identity:
-        #     nothing ships through Arrow in EITHER direction (the UDF
-        #     returns NULL and the JVM coalesces scrubbed_text back to text
-        #     — r6: returning the text itself re-shipped the whole corpus on
-        #     the Arrow return path for nothing);
-        # 1 = candidate ASCII — scrub_pre carries the JVM-scrubbed text (the
-        #     dialect-equivalence fast path, scrub.SCRUB_RULES_JAVA);
-        # 2 = non-ASCII or NULL — the Python kernel decides.
-        # Byte-identical overall, enforced by the scrub differential tests.
+        # 0 = clean ASCII — no rule can match (prefilter), scrub ≡ identity;
+        # 1 = candidate ASCII — the JVM regexp chain scrubs it OUTSIDE the
+        #     UDF (scrub.SCRUB_RULES_JAVA dialect equivalence) and the
+        #     post-UDF projection composites it in: the pre-scrubbed text
+        #     never crosses Arrow in either direction (before r7 it rode
+        #     along as a UDF argument and came straight back out);
+        # 2 = non-ASCII or NULL — the Python kernel decides, and rows the
+        #     rule chain leaves unchanged come back NULL too
+        #     (scrub_series_sparse) — on multilingual prose the candidate
+        #     rate is ~0%, so the unchanged corpus stops re-shipping on the
+        #     Arrow return path just like the ASCII flag-0 rows.
+        # Only genuinely REWRITTEN text (any flag) and the NULL→"" contract
+        # rows return a value here; everything else is NULL and the JVM
+        # restores the identity.  Byte-identical overall, enforced by the
+        # scrub differential tests.
         flag = scrub_flag.to_numpy()
         scr = pd.Series(
             np.full(len(text), None, dtype=object), index=text.index)
-        jvm = flag == 1
-        if jvm.any():
-            scr[jvm] = scrub_pre[jvm]
         py = flag == 2
         if py.any():
-            scr[py] = scrub_series(text[py])
+            scr[py] = scrub_series_sparse(text[py])
         f["scrubbed_text"] = scr
         return f[[fld.name for fld in FEATURE_SCHEMA.fields]]
 
@@ -231,25 +232,36 @@ def featurize(df: DataFrame, salt_partitions: int | None = None) -> DataFrame:
     lowered = F.lower(F.col("text"))
     for stem in _TOX_STEMS:
         cand = cand | lowered.contains(stem)
-    # 3-state flag + scrubbed-only-for-candidates column: clean rows ship
-    # NOTHING extra through Arrow (scrub ≡ identity in the UDF), candidate
-    # rows ship the JVM-scrubbed text, everything else takes the Python
-    # kernel.  Shipping scrub_pre for ALL ascii rows doubled the Arrow
-    # payload on clean corpora (measured ~10% featurize cost).
+    # 3-state flag; the JVM-scrubbed candidate text stays a JVM-side column
+    # (``_scrub_pre``): ArrowEvalPython ships ONLY the UDF's argument
+    # columns to Python, so keeping it out of the UDF signature means the
+    # pre-scrubbed text never crosses Arrow at all — the post-UDF projection
+    # composites it back in.  (Before r7 it rode through the UDF and back;
+    # and before r6, shipping scrub_pre for ALL ascii rows doubled the
+    # Arrow payload on clean corpora — measured ~10% featurize cost.)
     scrub_flag = (
         F.when(ascii_ok & ~cand, F.lit(0))
         .when(ascii_ok, F.lit(1))
         .otherwise(F.lit(2))
     ).cast("int")
-    scrub_pre = F.when(ascii_ok & cand, scrub_col(F.col("text")))
+    df = df.withColumns({
+        "_scrub_flag": scrub_flag,
+        "_scrub_pre": F.when(ascii_ok & cand, scrub_col(F.col("text"))),
+    })
     return (
         df.withColumn(
-            "_f", _featurize_udf()(F.col("text"), scrub_pre, scrub_flag)
+            "_f", _featurize_udf()(F.col("text"), F.col("_scrub_flag"))
         ).select("*", "_f.*").drop("_f")
-        # flag-0 (clean-identity) rows come back with NULL scrubbed_text —
-        # restore the identity JVM-side so the Arrow return path never
-        # carries the unchanged corpus text
-        .withColumn("scrubbed_text", F.coalesce("scrubbed_text", "text"))
+        # the UDF returns NULL scrubbed_text for every identity row (clean
+        # ASCII flag-0 AND unchanged non-ASCII flag-2) so the Arrow return
+        # path never carries unchanged corpus text; flag-1 rows take the
+        # JVM-scrubbed column, everything else coalesces back to the input
+        .withColumn(
+            "scrubbed_text",
+            F.when(F.col("_scrub_flag") == 1, F.col("_scrub_pre"))
+            .otherwise(F.coalesce("scrubbed_text", "text")),
+        )
+        .drop("_scrub_flag", "_scrub_pre")
     )
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 
 # (name, compiled pattern, replacement) — applied strictly in this order.
@@ -95,6 +96,35 @@ def scrub_col(c):
     out = c
     for _name, pat, rep in SCRUB_RULES_JAVA:
         out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def scrub_series_sparse(texts: pd.Series) -> pd.Series:
+    """``scrub_series`` with an Arrow-return-pruned contract for the
+    featurize UDF: rows the rule chain leaves UNCHANGED come back as None
+    (the caller restores the identity JVM-side via ``coalesce(scrubbed,
+    text)``, so unchanged text never re-crosses the Arrow boundary — on
+    multilingual prose the candidate rate is ~0%, making the whole return
+    column NULLs), while NULL input still scrubs to ``""`` (the frozen
+    contract ``scrub_series`` established) and genuinely rewritten rows
+    carry their scrubbed text.  ``coalesce``-composition equivalence with
+    ``scrub_series`` is differential-tested (test_scrub_sparse_contract +
+    the hypothesis property)."""
+    filled = texts.fillna("")
+    out = pd.Series(
+        np.full(len(texts), None, dtype=object), index=texts.index)
+    out[texts.isna()] = ""  # NULL scrubs to "" — must stay a real value
+    m = _scrub_candidates(filled)
+    if m.any():
+        orig = filled[m]
+        sub = orig
+        for _name, pat, rep in SCRUB_RULES:
+            sub = sub.str.replace(pat, rep, regex=True)
+        # prefilter hits that no rule rewrote (e.g. a bare digit) are still
+        # identities — compare only the candidate subset, not the corpus
+        changed = pd.Series(
+            sub.to_numpy() != orig.to_numpy(), index=sub.index)
+        out[m] = sub.where(changed, None)
     return out
 
 

@@ -76,6 +76,36 @@ def test_scrub_prefilter_is_conservative():
     assert out.equals(scrub_series_naive(s))
 
 
+def test_scrub_sparse_contract():
+    """scrub_series_sparse is the Arrow-return-pruned variant the featurize
+    UDF uses: identity rows (unchanged, non-NULL) come back None so the JVM
+    coalesce restores them without re-shipping text; NULL rows keep the
+    frozen NULL→"" contract; rewritten rows carry their scrubbed text.
+    coalesce-composition must equal scrub_series on every input."""
+    from bytefreq_spark.scrub import scrub_series_sparse
+
+    s = pd.Series(
+        ["mail a@b.co now", "clean prose", None, "", "version 2 beta",
+         "日本語のテキスト", "数字 123-45-6789 あり", "ässhole? no: dumbass"],
+        dtype=object,
+    )
+    sparse = scrub_series_sparse(s)
+    dense = scrub_series(s)
+    composed = sparse.where(sparse.notna(), s)
+    assert composed.tolist() == dense.tolist()
+    # the pruning actually happens: unchanged non-NULL rows are None
+    assert sparse[1] is None and sparse[5] is None
+    # "version 2" passes the digit prefilter but no rule rewrites it —
+    # still pruned (the candidate-subset equality check)
+    assert sparse[4] is None
+    # NULL input stays a real "" (coalesce must NOT resurrect the NULL)
+    assert sparse[2] == ""
+    # rewritten rows carry the scrub
+    assert sparse[0] == "mail <EMAIL> now"
+    # (the phone rule precedes ssn in the frozen order, so it wins here)
+    assert sparse[6] == "数字 <PHONE> あり"
+
+
 def test_langid_fast_equals_naive():
     s = _series()
     assert detect_language(s).equals(detect_language_naive(s))

@@ -67,6 +67,23 @@ def test_scrub_fast_equals_naive_property(vals):
     assert scrub_series(s).tolist() == scrub_series_naive(s).tolist()
 
 
+@settings(max_examples=100, deadline=None)
+@given(BATCH)
+def test_scrub_sparse_composition_property(vals):
+    """The sparse scrub law: coalesce(scrub_series_sparse(s), s) ≡
+    scrub_series(s) on arbitrary input, and None appears ONLY where the
+    scrub is an identity on non-NULL text (the Arrow-prune contract)."""
+    from bytefreq_spark.scrub import scrub_series, scrub_series_sparse
+
+    s = pd.Series(vals, dtype=object)
+    sparse = scrub_series_sparse(s)
+    dense = scrub_series(s)
+    assert sparse.where(sparse.notna(), s).tolist() == dense.tolist()
+    for v, sp, d in zip(vals, sparse.tolist(), dense.tolist()):
+        if sp is None:
+            assert v is not None and d == v
+
+
 @settings(max_examples=60, deadline=None)
 @given(BATCH)
 def test_langid_fast_equals_naive_property(vals):

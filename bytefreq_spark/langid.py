@@ -4,13 +4,16 @@ deterministic and SQL-free).
 Two-tier classifier over a pandas Series of texts (no per-row Python — all
 operations are C-level pandas/numpy):
 
-1. **Script tier**: character-class ratios (kana / han-CJK / Cyrillic /
-   Greek / Devanagari, in that priority order) computed with vectorized
-   regex counts → ja / zh / ru / el / hi, each against its per-language
-   threshold (``SCRIPT_THRESHOLDS``; kana is unambiguously Japanese so
-   ``ja`` fires at 10% ahead of the han-only ``zh`` tier at 30%).  Runs
-   only on the non-ASCII subset (``str.isascii`` fast path — pure-ASCII
-   text cannot contain script-tier characters).
+1. **Script tier**: character-class ratios (kana / hangul / han-CJK /
+   Cyrillic / Greek / Devanagari / Thai / Hebrew / Perso-Arabic, in
+   ``SCRIPT_RANGES`` priority order) computed with vectorized range
+   compares → ja / ko / zh / ru / el / hi / th / he / ur / fa / ar, each
+   against its per-language threshold (``SCRIPT_THRESHOLDS``): scripts
+   unambiguous for one language (kana→ja, hangul→ko, Urdu/Persian
+   distinctive letters) fire at low thresholds AHEAD of the tiers for the
+   scripts they share (han, the Arabic block).  Runs only on the
+   non-ASCII subset (``str.isascii`` fast path — pure-ASCII text cannot
+   contain script-tier characters).
 2. **Latin tier**: per-language marker-token hit rates (the high-weight
    features a fastText supervised model learns for closely related Latin
    languages) → argmax with a fixed deterministic tie-break.  A hit is a
@@ -47,10 +50,29 @@ import pandas as pd
 SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
     # hiragana, katakana, halfwidth katakana — all unambiguously Japanese
     "ja": ((0x3040, 0x309F), (0x30A0, 0x30FF), (0xFF66, 0xFF9F)),
+    # hangul (syllables + jamo + compat jamo) — unambiguously Korean; runs
+    # BEFORE zh for the same reason ja does: han is shared (hanja-mixed
+    # Korean prose), hangul is not, so a small hangul presence decides ko
+    "ko": ((0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x3130, 0x318F)),
     "zh": ((0x3400, 0x4DBF), (0x4E00, 0x9FFF)),  # han (shared CJK ideographs)
     "ru": ((0x0400, 0x04FF),),
     "el": ((0x0370, 0x03FF),),
     "hi": ((0x0900, 0x097F),),
+    "th": ((0x0E00, 0x0E7F),),
+    "he": ((0x0590, 0x05FF),),
+    # Perso-Arabic cascade, the ja→zh pattern one script over: the base
+    # Arabic block is SHARED (ar/fa/ur/ps/ckb all write with it), so the
+    # unambiguous-letter tiers run first.  ٹ ڈ ڑ ے are Urdu-only among the
+    # majors (retroflexes + yeh barree, e.g. the copula ہے); پ چ ژ گ
+    # distinguish Persian from Arabic but also appear in Urdu — hence ur
+    # BEFORE fa.  Residual sharing (Pashto's extra retroflexes, Sorani)
+    # resolves to fa/ar, the documented coverage edge (like kana/han before
+    # the r7 ja split, but one tier narrower).
+    "ur": ((0x0679, 0x0679), (0x0688, 0x0688), (0x0691, 0x0691),
+           (0x06D2, 0x06D2)),
+    "fa": ((0x067E, 0x067E), (0x0686, 0x0686), (0x0698, 0x0698),
+           (0x06AF, 0x06AF)),
+    "ar": ((0x0600, 0x06FF), (0x0750, 0x077F)),
 }
 SCRIPT_PATTERNS = {
     lang: "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges) + "]"
@@ -58,12 +80,18 @@ SCRIPT_PATTERNS = {
 }
 SCRIPT_THRESHOLD_NUM = 3    # fire when script_chars * 10 >= n_chars * 3 (30%)
 SCRIPT_THRESHOLD_DEN = 10
-# Per-language overrides of the (num, den) firing fraction.  ja uses 10%:
-# kana never appears in Chinese text, so a small unambiguous kana presence
-# decides ja even in kanji-heavy Japanese prose (particles alone clear 10%),
-# while 30% of SHARED han chars stays the zh bar.
+# Per-language overrides of the (num, den) firing fraction.  ja/ko use 10%:
+# kana/hangul never appear in Chinese text, so a small unambiguous presence
+# decides the language even in kanji/hanja-heavy prose (Japanese particles
+# alone clear 10%), while 30% of SHARED han chars stays the zh bar.  ur/fa
+# use 1%: their distinctive letters are single characters scattered through
+# otherwise-shared Arabic script (a natural Urdu/Persian sentence runs
+# ~2-5% of them), while 30% of the shared block stays the ar bar.
 SCRIPT_THRESHOLDS: dict[str, tuple[int, int]] = {
     "ja": (1, 10),
+    "ko": (1, 10),
+    "ur": (1, 100),
+    "fa": (1, 100),
 }
 
 

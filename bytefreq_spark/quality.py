@@ -31,7 +31,8 @@ RARE_MAX_CHARS = 20                  # rare-pattern rule applies only to short t
 ENTROPY_MIN = 0.5                    # nats; boilerplate/repetition floor
 ENTROPY_MIN_CHARS = 20
 LATIN_LANGS = ("en", "fr", "de", "es")
-ALLOWED_LANGS = ("en", "fr", "de", "es", "ja", "zh", "ru", "el", "hi")
+ALLOWED_LANGS = ("en", "fr", "de", "es", "ja", "zh", "ru", "el", "hi",
+                 "ko", "th", "he", "ur", "fa", "ar")
 LU_KEY_LEN = 64                      # mask-dictionary key = LU mask truncated
 LU_KEY_SRC_CHARS = 512               # ...computed from this text prefix only
 

@@ -42,6 +42,13 @@ ADVERSARIAL = [
     "データ品質フィルタを実行します",   # katakana/han mix → ja
     "漢字が九割を占める文章でも大丈夫",  # kanji-heavy ja (kana clears 10%)
     "Привет как дела сегодня",      # cyrillic
+    "데이터 품질 분석을 실행합니다",     # hangul → ko tier
+    "韓國語는 재미있다",               # hanja/hangul mix → ko
+    "ระบบกรองคุณภาพข้อมูล",           # thai tier
+    "בדיקת איכות נתונים",            # hebrew tier
+    "یہ ڈیٹا کے معیار کی جانچ ہے",    # urdu (ڈ, ے) ahead of fa/ar
+    "بررسی کیفیت داده ها با گفتگو",    # persian (گ) ahead of ar
+    "تحليل جودة البيانات في المجموعة",  # arabic (shared block only)
     "word " * 500,                  # long
     "x" * 3000,                     # over CAP_CHARS
     "the_end the1 the,end the end", # \b vs \w+ token boundary edges
@@ -127,6 +134,32 @@ def test_langid_ja_zh_boundary():
     fast, naive = detect_language(s), detect_language_naive(s)
     assert fast.equals(naive)
     assert fast.tolist() == ["ja", "ja", "zh", "ja", "zh", "ja"]
+
+
+def test_langid_ko_th_he_perso_arabic_cascade():
+    """Golden pinning the r7 script-tier extension: hangul is unambiguously
+    Korean (fires at 10% ahead of the shared-han zh tier, mirroring ja);
+    Thai and Hebrew are plain 30% tiers; and the Perso-Arabic cascade runs
+    unambiguous-letter tiers (ur: ٹ ڈ ڑ ے at 1%, then fa: پ چ ژ گ at 1%)
+    BEFORE the shared Arabic block (ar at 30%) — the ja→zh design one
+    script over.  Pinned on both implementations."""
+    s = pd.Series([
+        "안녕하세요 데이터 품질 필터입니다",        # hangul → ko
+        "漢字" * 9 + "은" + "漢",               # 1 hangul / 20 chars = 5% → zh
+        "漢字" * 4 + "은" + "漢",               # 1 hangul / 10 chars = 10% → ko
+        "경제" + "漢字" * 4,                    # 2 hangul / 10 = 20% → ko
+        "ตัวกรองคุณภาพข้อมูล",                  # thai → th
+        "מסנן איכות הנתונים",                  # hebrew → he
+        "یہ معیار کی جانچ ہے",                 # urdu (ے) → ur
+        "این یک آزمایش کیفیت است که گفتگو",     # persian (گ) → fa
+        "هذا اختبار جودة البيانات",             # arabic (no ur/fa letters) → ar
+        "مرحبا " + "یگ",                       # short: 1 گ / 8 chars ≥1% → fa
+    ])
+    fast, naive = detect_language(s), detect_language_naive(s)
+    assert fast.equals(naive)
+    assert fast.tolist() == [
+        "ko", "zh", "ko", "ko", "th", "he", "ur", "fa", "ar", "fa",
+    ]
 
 
 def test_langid_script_range_boundaries():

@@ -25,10 +25,14 @@ def main(argv: list[str] | None = None) -> int:
     qf.add_argument("--input", required=True, help="parquet dir / table of transcripts")
     qf.add_argument("--output", required=True)
     qf.add_argument("--salt-partitions", type=int, default=None)
-    qf.add_argument("--auto-salt", action="store_true",
+    qf.add_argument("--auto-salt", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="probe the input layout and skip the featurize "
                          "salt exchange when partitions are already "
-                         "balanced (see pipeline.input_salt_decision)")
+                         "balanced (see pipeline.input_salt_decision). "
+                         "ON by default since r8 (measured 22-28%% faster "
+                         "on balanced input, keeps the salt on skew); "
+                         "--no-auto-salt restores the unconditional salt")
     qf.add_argument("--drop-text", action="store_true",
                     help="drop raw text/tool from the output (the at-scale "
                          "config: scrubbed text is the deliverable, and the "

@@ -139,6 +139,48 @@ def with_mask_key(df: DataFrame) -> DataFrame:
     })
 
 
+def _lu_key_udf():
+    """Arrow-vectorized LU dictionary key: the fused flat-buffer kernel
+    (``masks.lu_mask_key_series``) over a JVM-side 512-char prefix.
+
+    This is the same kernel featurize emits ``lu_key`` from, so dictionary
+    keys and featurize keys agree STRUCTURALLY (one engine), on top of the
+    char-for-char JVM≡Python parity test_masks pins.  NULL text yields NULL
+    key — matching both ``with_mask_key`` (mask_col propagates NULL) and
+    featurize (explicit ``.loc[text.isna()] = None``)."""
+    from .masks import lu_mask_key_series
+    from .quality import LU_KEY_LEN, LU_KEY_SRC_CHARS
+
+    @F.pandas_udf(StringType())
+    def lu_key(prefix: pd.Series) -> pd.Series:
+        out = lu_mask_key_series(prefix, LU_KEY_SRC_CHARS, LU_KEY_LEN)
+        out[prefix.isna()] = None
+        return out
+
+    return lu_key
+
+
+def with_mask_key_arrow(df: DataFrame) -> DataFrame:
+    """The RESCAN dictionary projection via the Arrow kernel: ``(lu_key)``
+    only — the frequency dictionary groups by the key and needs nothing
+    else, so the Arrow boundary carries exactly one 512-char JVM-side text
+    prefix in and one ≤64-char key out (guide §4: ship only the columns the
+    function needs).
+
+    r8: the JVM ``with_mask_key`` chain (translate + 5 regexp passes + the
+    backreference collapse) measured 5.1-6.9 s on the 1.86M-turn corpus —
+    half the entire pipeline wall — while this kernel does the same masking
+    ~7× cheaper per turn (docs/PLANS.md §lu_key_mask_cost).  ``with_mask_key``
+    remains the zero-Python reference surface (differential-tested equal)."""
+    from .quality import LU_KEY_SRC_CHARS
+
+    return df.select(
+        _lu_key_udf()(
+            F.substring(F.col("text"), 1, LU_KEY_SRC_CHARS)
+        ).alias("lu_key")
+    )
+
+
 def input_salt_decision(
     df: DataFrame, target: int, skew_tolerance: float = 2.0,
 ) -> int | None:
@@ -456,7 +498,7 @@ def quality_filter(
     drop_text: bool = False,
     freq_source: str = "rescan",
     dict_salt_partitions: int | None = None,
-    auto_salt: bool = False,
+    auto_salt: bool = True,
 ) -> DataFrame:
     """Full pipeline: transcripts → labeled/scrubbed turns.
 
@@ -496,6 +538,12 @@ def quality_filter(
     keeps the salt — test_auto_salt_decision).  With no explicit
     ``salt_partitions`` the probe targets 2× the session's default
     parallelism, so ``auto_salt=True`` alone is a complete config.
+    **Default since r8** (VERDICT_r7 #2): measured 22-28% faster on balanced
+    input, provably keeps the salt on skew, and the probe costs one cheap
+    column-pruned job (0.1 s at sf0.1, ~0.5 s at sf1; free on real Iceberg
+    via file metadata).  ``auto_salt=False`` restores the unconditional
+    salt; an explicit ``salt_partitions`` still sizes whichever salt the
+    probe keeps.
     """
     if auto_salt:
         # without an explicit salt_partitions the probe still runs, against
@@ -528,7 +576,11 @@ def quality_filter(
             df.repartition(dict_salt_partitions)
             if dict_salt_partitions else df
         )
-        freq = mask_frequency_dict(with_mask_key(src))
+        # r8: the rescan masks through the Arrow kernel (~7× cheaper per
+        # turn than the JVM regexp chain — measured 5-7 s → ~1.5 s on the
+        # 1.86M-turn corpus); the Arrow boundary carries only the 512-char
+        # prefix in and the ≤64-char key out.  See with_mask_key_arrow.
+        freq = mask_frequency_dict(with_mask_key_arrow(src))
     with_freq = with_mask_frequency(feat, freq)
     # ONE wide shuffle: conversation layout → exchange-free lag window →
     # native decision.  Output is conversation-contiguous and (conv_id,
@@ -627,7 +679,9 @@ def run_incremental(
             old_labels.groupBy("lu_key").agg(F.count("*").alias("lu_count"))
         )
     src = new.repartition(salt_partitions) if salt_partitions else new
-    delta = mask_frequency_dict(with_mask_key(src))
+    # same Arrow mask kernel as the one-shot rescan (r8) — the delta tally
+    # must agree with featurize's lu_key, which this makes structural
+    delta = mask_frequency_dict(with_mask_key_arrow(src))
     freq = (
         delta if freq_old is None
         else freq_old.unionByName(delta).groupBy("lu_key").agg(
@@ -832,7 +886,7 @@ def run_with_checkpoints(
     config: dict | None = None,
     salt_partitions: int | None = None,
     drop_text: bool = False,
-    auto_salt: bool = False,
+    auto_salt: bool = True,
 ) -> DataFrame:
     """Resumable run: each stage materializes a snapshot; a restart reloads
     completed stages (manifest + config fingerprint match) instead of

@@ -94,9 +94,9 @@ def make_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-# above this many literal terms (n_planes × dim) the native expression tree
-# becomes a whole-stage-codegen risk (e.g. 16 planes × 1536 dims ≈ 25k nodes)
-# → route through the Arrow matmul UDF instead (same shape as ivf_assign_udf)
+# above this many terms (n_planes × dim) the bit-exact sequential-fold Arrow
+# kernel gives way to the blocked matmul (same answers away from the
+# sign boundary; the matmul amortizes better at production dims 768-1536)
 LSH_NATIVE_MAX_TERMS = 1024
 
 
@@ -118,24 +118,66 @@ def hyperplane_signature_udf(planes: np.ndarray):
     return sig
 
 
+def hyperplane_signature_seq_udf(planes: np.ndarray):
+    """Arrow hyperplane signature, BIT-IDENTICAL to the native expression
+    (``hyperplane_signature_col``): the JVM evaluates each plane dot product
+    as a strict left fold of IEEE doubles — ``((0.0 + x₀·p₀) + x₁·p₁) + …``
+    — so accumulating one dimension at a time in float64 performs the exact
+    same sequence of IEEE operations and reproduces every sign bit,
+    including dots within rounding of zero (where a blocked matmul could
+    round the other way).  NULL/ragged vectors yield signature 0, matching
+    the native NULL-condition ``when().otherwise(0)`` fold.
+
+    Why it exists (r8): the native expression tree is n_planes × dim literal
+    nodes evaluated through interpreted higher-order functions — measured
+    3.7× slower *per pass* than this kernel at 16×64 and re-planned/
+    re-evaluated at every use of the signature subtree.  This keeps the
+    native path's exact semantics at Arrow-batch speed."""
+    p64 = planes.astype(np.float64)
+    n_planes, dim = p64.shape
+    weights = np.left_shift(
+        np.uint64(1), np.arange(n_planes, dtype=np.uint64)
+    )
+
+    @F.pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vecs),
+            dtype=bool, count=len(vecs),
+        )
+        out = np.zeros(len(vecs), dtype=np.uint64)
+        if ok.any():
+            x = np.array([np.asarray(v) for v in vecs[ok]], dtype=np.float64)
+            acc = np.zeros((len(x), n_planes), dtype=np.float64)
+            for j in range(dim):
+                acc += x[:, j, None] * p64[None, :, j]
+            out[ok] = ((acc >= 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return pd.Series(out.astype(np.int64))
+
+    return sig
+
+
 def hyperplane_signatures(
     df: DataFrame, planes: np.ndarray,
     vec_col: str = "embedding", out_col: str = "_sig", impl: str = "auto",
 ) -> DataFrame:
-    """Signature column with implementation routing: native expressions for
-    small plane×dim products (stays in codegen), Arrow matmul above
-    ``LSH_NATIVE_MAX_TERMS``.  Equivalence-tested at dims 16 and 768; the
-    one caveat is a dot product within float rounding of zero, where the
-    native sequential fold and BLAS blocked summation could round to
-    opposite signs — for a FIXED config the routing (and thus the summation
-    order) is deterministic, so an index never mixes the two paths."""
+    """Signature column with implementation routing: the sequential-fold
+    Arrow kernel (bit-identical to the native expression — see
+    ``hyperplane_signature_seq_udf``) for small plane×dim products, Arrow
+    matmul above ``LSH_NATIVE_MAX_TERMS``.  ``impl="native"`` keeps the
+    pure-expression surface (differential-test reference).  The one routing
+    caveat is a dot product within float rounding of zero, where the
+    sequential fold and BLAS blocked summation could round to opposite
+    signs — for a FIXED config the routing (and thus the summation order)
+    is deterministic, so an index never mixes the two paths."""
     if impl == "auto":
-        impl = "native" if planes.size <= LSH_NATIVE_MAX_TERMS else "arrow"
-    col = (
-        hyperplane_signature_col(vec_col, planes)
-        if impl == "native"
-        else hyperplane_signature_udf(planes)(F.col(vec_col))
-    )
+        impl = "arrow_seq" if planes.size <= LSH_NATIVE_MAX_TERMS else "arrow"
+    if impl == "native":
+        col = hyperplane_signature_col(vec_col, planes)
+    elif impl == "arrow_seq":
+        col = hyperplane_signature_seq_udf(planes)(F.col(vec_col))
+    else:
+        col = hyperplane_signature_udf(planes)(F.col(vec_col))
     return df.withColumn(out_col, col)
 
 
@@ -277,20 +319,14 @@ def ivf_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-def embedding_banded_signatures(
-    df: DataFrame, planes: np.ndarray,
-    vec_col: str = "embedding", id_col: str = "vec_id",
-    bands: int = 4, impl: str = "auto",
-) -> DataFrame:
-    """``(id, band, band_sig)``: the hyperplane signature split into
-    ``bands`` bit-bands (cosine-LSH banding: near-identical vectors agree on
-    at least one full band with high probability).  Exposed so the driver
-    contract can stage it for the DuckDB replay oracle."""
-    n_planes = planes.shape[0]
+def _band_split(sigs: DataFrame, id_col: str, n_planes: int, bands: int) -> DataFrame:
+    """Split a ``_sig`` column into ``bands`` bit-bands (shared by
+    ``embedding_banded_signatures`` and the near-dup self-join, so the
+    banding applied to a cached signature table is the same expression the
+    staged oracle table was built with)."""
     assert n_planes % bands == 0
     width = n_planes // bands
     mask = (1 << width) - 1
-    sigs = hyperplane_signatures(df, planes, vec_col, "_sig", impl)
     return sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -300,6 +336,19 @@ def embedding_banded_signatures(
             ])
         ).alias("band", "band_sig"),
     )
+
+
+def embedding_banded_signatures(
+    df: DataFrame, planes: np.ndarray,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    bands: int = 4, impl: str = "auto",
+) -> DataFrame:
+    """``(id, band, band_sig)``: the hyperplane signature split into
+    ``bands`` bit-bands (cosine-LSH banding: near-identical vectors agree on
+    at least one full band with high probability).  Exposed so the driver
+    contract can stage it for the DuckDB replay oracle."""
+    sigs = hyperplane_signatures(df, planes, vec_col, "_sig", impl)
+    return _band_split(sigs, id_col, planes.shape[0], bands)
 
 
 def embedding_near_dup_pairs(
@@ -328,7 +377,16 @@ def embedding_near_dup_pairs(
             )
         dim = len(head[0][0])
     planes = make_planes(dim, n_planes, seed)
-    banded = embedding_banded_signatures(df, planes, vec_col, id_col, bands, impl)
+    # cache the signature table (id + one long per row — the narrow proxy,
+    # same pattern as minhash_near_dups): the banded subtree is consumed
+    # three times downstream (cap window, self-join left, self-join right),
+    # and without the cache each consumer re-runs the signature kernel over
+    # the full vector column (r8 plan audit: 3× ArrowEvalPython → 1×)
+    sigs = hyperplane_signatures(df, planes, vec_col, "_sig", impl).select(
+        F.col(id_col), "_sig"
+    )
+    sigs.cache()
+    banded = _band_split(sigs, id_col, n_planes, bands)
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -352,11 +410,24 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # norms ride on the per-VECTOR side tables (one sqrt(dot(v,v)) per vector)
+    # instead of inside the per-PAIR cosine (two per candidate pair) — the
+    # same expressions, factored to evaluate n times instead of 2·|pairs|
+    # times, so every cosine value is bit-identical to
+    # ``cosine_sim_col(_va, _vb)`` while the interpreted higher-order-function
+    # work per pair drops from three dot products to one (r8: the candidate
+    # set is quadratic-ish in bucket size, the vector set is not)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                   _norm(F.col(vec_col)).alias("_na"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                   _norm(F.col(vec_col)).alias("_nb"))
     scored = cands.join(va, "id_a").join(vb, "id_b").select(
         "id_a", "id_b",
-        F.round(cosine_sim_col(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        F.round(
+            F.try_divide(_dot(F.col("_va"), F.col("_vb")),
+                         F.col("_na") * F.col("_nb")),
+            6,
+        ).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= threshold)
 

@@ -48,10 +48,14 @@ The Python kernel is ~7× cheaper per turn: Java's backreference collapse
 regex backtracks per run, while the numpy collapse is a single positional
 diff.  Consequence (r6): the featurize stage emits `lu_key` from the Python
 kernel (the two engines run serially on the same task thread, so the cheaper
-one shortens the stage); the JVM expression remains the engine of the
-RESCAN dictionary branch, whose whole point is a second input scan with
-zero Python.  Cross-engine key agreement is pinned by test_masks
-(`mask_col` ≡ `mask_series`, NULL text → NULL key both sides).
+one shortens the stage).  r8 routed the RESCAN dictionary branch through the
+same kernel (`pipeline.with_mask_key_arrow`): the JVM chain measured
+5.1-6.9 s on the 1.86M-turn sf1 corpus — HALF the whole pipeline wall —
+vs ~1.5 s for the Arrow stage (512-char prefix in, ≤64-char key out; the
+r8 bench delta confirms).  `with_mask_key` (JVM) remains the zero-Python
+reference surface.  Cross-engine key agreement is pinned by test_masks
+(`mask_col` ≡ `mask_series`) and test_mask_key_arrow_equals_jvm
+(NULL text → NULL key on every surface).
 
 Reproduce: time `with_mask_key(tr).select("lu_key","n_chars")` vs
 `tr.select(substring(text,1,512), length(text))` on
@@ -114,17 +118,24 @@ def main():
         ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
     ])
 
-    # 4. quality filter: one UDF stage (ArrowEvalPython), broadcast freq join
+    # 4. quality filter: two lean Arrow stages (featurize + the rescan
+    # dictionary key — r8 routed the dict mask through the Python kernel,
+    # which ships ONLY a 512-char prefix in and a ≤64-char key out),
+    # broadcast freq join.  auto_salt=False pins the salted exhibit shape
+    # (the probe-driven default resolves to the nosalt plan below on
+    # balanced input).
     tr = gen_transcripts_spark(spark, 50)
-    qf = quality_filter(tr, salt_partitions=8, ordered=False)
+    qf = quality_filter(tr, salt_partitions=8, ordered=False, auto_salt=False)
     audit("quality_filter", qf, [
-        ("exactly 1 arrow UDF stage (featurize; decision is native)",
-         lambda p: len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1),
+        ("exactly 2 arrow UDF stages (featurize + dict key; decision native)",
+         lambda p: len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 2),
+        ("dict-key arrow stage ships only the 512-char prefix",
+         lambda p: bool(re.search(r"lu_key\(substring\(text", p))),
         ("freq dict broadcast-joined", lambda p: "BroadcastHashJoin" in p),
         ("no per-row python (BatchEvalPython)", lambda p: "BatchEvalPython" not in p),
-        # exactly 2 FULL-data exchanges by default: the featurize salt and
-        # the conversation layout (dict-rescan salt is an explicit opt-in
-        # for non-splittable skewed inputs; see pipeline.quality_filter)
+        # exactly 2 FULL-data exchanges in the salted config: the featurize
+        # salt and the conversation layout (dict-rescan salt is an explicit
+        # opt-in for non-splittable skewed inputs; see pipeline.quality_filter)
         ("2 full-data exchanges (salt + layout), dict exchanges tiny",
          lambda p: len(re.findall(r"RoundRobinPartitioning", p)) >= 1
          and len(re.findall(r"hashpartitioning\(conv_id", p)) >= 1
@@ -142,7 +153,8 @@ def main():
             r"Arguments: hashpartitioning\(conv_id", p)
         return m.group(1) if m else ""
 
-    qf_drop = quality_filter(tr, salt_partitions=8, drop_text=True)
+    qf_drop = quality_filter(tr, salt_partitions=8, drop_text=True,
+                             auto_salt=False)
     audit("quality_filter_drop_text", qf_drop, [
         ("layout exchange carries NO raw text column",
          lambda p: _layout_exchange_cols(p) != ""
@@ -152,13 +164,15 @@ def main():
          and "_text_h#" in _layout_exchange_cols(p)),
     ])
 
-    # 4c. auto-salt skip (r7): on a balanced input the probe returns None
-    # and the plan must lose the featurize round-robin exchange entirely —
-    # ONE full-data exchange (the conversation layout) instead of two.
-    # Audited via salt_partitions=None, which is bit-identically the plan
-    # auto_salt=True produces after a skip decision (the probe job itself
-    # is separate and leaves no trace in this plan).
-    qf_nosalt = quality_filter(tr, salt_partitions=None, ordered=False)
+    # 4c. auto-salt skip (r7; the DEFAULT since r8): on a balanced input the
+    # probe returns None and the plan must lose the featurize round-robin
+    # exchange entirely — ONE full-data exchange (the conversation layout)
+    # instead of two.  Audited via salt_partitions=None + auto_salt=False,
+    # which is bit-identically the plan the probe-driven default produces
+    # after a skip decision (the probe job itself is separate and leaves no
+    # trace in this plan).
+    qf_nosalt = quality_filter(tr, salt_partitions=None, ordered=False,
+                               auto_salt=False)
     audit("quality_filter_nosalt", qf_nosalt, [
         ("no round-robin salt exchange",
          lambda p: "RoundRobinPartitioning" not in p),
@@ -166,8 +180,8 @@ def main():
          lambda p: len(re.findall(r"hashpartitioning\(conv_id", p)) >= 1
          and len(re.findall(r"^\(\d+\) Exchange", p, re.M))
          == len(re.findall(r"^\(\d+\) Exchange", plan_of(qf), re.M)) - 1),
-        ("still exactly 1 arrow UDF stage",
-         lambda p: len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1),
+        ("still exactly 2 arrow UDF stages (featurize + dict key)",
+         lambda p: len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 2),
     ])
 
     # 5. window top-k

@@ -397,9 +397,13 @@ def test_ivf_partitioned_pruning(spark, tmp_path):
 
 
 def test_lsh_signature_native_equals_arrow(spark):
-    """The Arrow-matmul signature path (production dims) must agree with the
-    native expression path at every dim — including dim 768 where the native
-    literal tree is a codegen risk and auto-routing picks Arrow."""
+    """All three signature implementations must agree at every dim: the
+    Arrow matmul (production dims), the Arrow sequential-fold kernel (small
+    dims — required BIT-identical to the native expression, its left-fold
+    IEEE order reproduced exactly), and the native expression reference.
+    Auto-routing never plans the native literal tree anymore (r8: it was a
+    ~5k-node interpreted expression re-evaluated per consumer) — small dims
+    take the seq kernel, large dims the matmul; both are ArrowEvalPython."""
     import numpy as np
 
     from bytefreq_spark.similarity import (
@@ -416,12 +420,16 @@ def test_lsh_signature_native_equals_arrow(spark):
                hyperplane_signatures(df, planes, impl="native").collect()}
         arw = {r["vec_id"]: r["_sig"] for r in
                hyperplane_signatures(df, planes, impl="arrow").collect()}
+        seq = {r["vec_id"]: r["_sig"] for r in
+               hyperplane_signatures(df, planes, impl="arrow_seq").collect()}
         assert nat == arw, (dim, n_planes)
-        # auto routes by plane×dim product
+        assert nat == seq, (dim, n_planes)
+        # auto routes by plane×dim product: seq kernel below the term cap,
+        # matmul above — both are Arrow stages (never the literal tree)
         auto = hyperplane_signatures(df, planes, impl="auto")
-        wants_arrow = planes.size > LSH_NATIVE_MAX_TERMS
         plan = auto._jdf.queryExecution().executedPlan().toString()
-        assert ("ArrowEvalPython" in plan) == wants_arrow
+        assert "ArrowEvalPython" in plan
+        assert LSH_NATIVE_MAX_TERMS > 0  # routing constant still exported
 
 
 def test_ann_lsh_high_dim_runs_arrow(spark):

@@ -202,6 +202,46 @@ def test_lu_key_python_equals_jvm(spark):
     assert py[1] is None and py[2] == "_"
 
 
+def test_mask_key_arrow_equals_jvm(spark):
+    """r8 routed the rescan dictionary branch through the Arrow kernel
+    (``with_mask_key_arrow``): the JVM regexp chain measured ~half the
+    whole pipeline wall at sf1 while the fused Python kernel is ~7× cheaper
+    per turn.  The two rescan surfaces must agree key-for-key — NULL text →
+    NULL key, empty → '_', >512-char prefix truncation, non-ASCII classes,
+    run collapse — and the dictionary built from either must be identical."""
+    from bytefreq_spark.pipeline import (
+        mask_frequency_dict, with_mask_key, with_mask_key_arrow,
+    )
+
+    rows = [
+        ("c0", 0, "user", "Hello World 42!", None),
+        ("c0", 1, "assistant", None, None),            # NULL text
+        ("c0", 2, "user", "", None),                   # empty text
+        ("c0", 3, "user", "día 123 Ü—ß " * 60, None),  # >512 chars, unicode
+        ("c0", 4, "user", "aaaa    bbbb", None),       # collapse runs
+        ("c0", 5, "user", "数据质量 123 データ", None),   # CJK long-tail LUT
+        ("c0", 6, "user", "Hello World 42!", None),    # repeat (count > 1)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    def _keys(frame):
+        return sorted(
+            (r["lu_key"] for r in frame.collect()),
+            key=lambda k: (k is None, k or ""),
+        )
+
+    jvm = _keys(with_mask_key(df).select("lu_key"))
+    arrow = _keys(with_mask_key_arrow(df))
+    assert arrow == jvm, (arrow, jvm)
+    dict_jvm = {r["lu_key"]: r["lu_count"] for r in
+                mask_frequency_dict(with_mask_key(df)).collect()}
+    dict_arrow = {r["lu_key"]: r["lu_count"] for r in
+                  mask_frequency_dict(with_mask_key_arrow(df)).collect()}
+    assert dict_arrow == dict_jvm
+    assert dict_arrow[None] == 1 and dict_arrow["_"] == 1
+
+
 def test_drop_reason_distribution(reference_labels):
     """The synthetic mixture must exercise every decision path."""
     reasons = set(reference_labels["drop_reason"].dropna().unique())
@@ -720,9 +760,29 @@ def test_auto_salt_decision(spark):
     key = ["conv_id", "turn_idx"]
     out_a = (quality_filter(df, salt_partitions=8, auto_salt=True)
              .toPandas().sort_values(key).reset_index(drop=True))
-    out_b = (quality_filter(df, salt_partitions=8)
+    out_b = (quality_filter(df, salt_partitions=8, auto_salt=False)
              .toPandas().sort_values(key).reset_index(drop=True))
     pd.testing.assert_frame_equal(out_a, out_b)
+
+
+def test_auto_salt_is_default(spark):
+    """r8 (VERDICT_r7 #2): auto_salt defaults ON — a plain
+    ``quality_filter(df, salt_partitions=N)`` call probes the layout and
+    drops the round-robin exchange on balanced input, while
+    ``auto_salt=False`` restores the unconditional salt."""
+    from bytefreq_spark.synth import gen_transcripts_pandas as gen
+
+    df = spark.createDataFrame(gen(120)).repartition(8)
+    # salt width 12 ≠ the input's own repartition(8), so the salt exchange
+    # is identifiable in the plan text (and CollapseRepartition cannot merge
+    # the two the way equal widths would)
+    def plan_of(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    probed = quality_filter(df, salt_partitions=12)
+    forced = quality_filter(df, salt_partitions=12, auto_salt=False)
+    assert "RoundRobinPartitioning(12)" not in plan_of(probed)  # skipped
+    assert "RoundRobinPartitioning(12)" in plan_of(forced)      # opt-out salts
 
 
 def test_input_lineage_many_files(spark, tmp_path):
@@ -781,7 +841,7 @@ def test_auto_salt_default_target(spark):
     key = ["conv_id", "turn_idx"]
     out_a = (quality_filter(df, auto_salt=True)
              .toPandas().sort_values(key).reset_index(drop=True))
-    out_b = (quality_filter(df, salt_partitions=8)
+    out_b = (quality_filter(df, salt_partitions=8, auto_salt=False)
              .toPandas().sort_values(key).reset_index(drop=True))
     pd.testing.assert_frame_equal(out_a, out_b)
 
@@ -822,7 +882,9 @@ def test_checkpoint_lineage_resume_gap(spark, tmp_path):
 
     df = gen_transcripts_spark(spark, 40, partitions=4)
     out = str(tmp_path / "ckpt_gap")
-    run_with_checkpoints(spark, df, out, salt_partitions=8)
+    # auto_salt=False: this test pins the config fingerprint (salt=8) to
+    # assert resume identity; the probe-resolved salt is covered elsewhere
+    run_with_checkpoints(spark, df, out, salt_partitions=8, auto_salt=False)
 
     import json as _json
 
@@ -835,7 +897,8 @@ def test_checkpoint_lineage_resume_gap(spark, tmp_path):
     # is exactly "metrics committed, input_lineage never did"
     _os.remove(_os.path.join(out, "input_lineage.manifest.json"))
 
-    labels = run_with_checkpoints(spark, df, out, salt_partitions=8)
+    labels = run_with_checkpoints(spark, df, out, salt_partitions=8,
+                                  auto_salt=False)
     cfg = {"version": 1, "salt": 8, "drop_text": False}
     assert snapshot_valid(out, "input_lineage", cfg)
     lin = read_snapshot(spark, out, "input_lineage").toPandas()

@@ -57,6 +57,10 @@ _KIND_P /= _KIND_P.sum()
 
 _WORDS = {"en": _EN, "fr": _FR, "de": _DE, "es": _ES, "zh": _ZH, "ja": _JA,
           "ru": _RU, "el": _EL, "hi": _HI}
+# object-array views of the word pools: fancy-index the whole draw at once
+# instead of a per-word Python listcomp (r8 — the longdocs corpus draws
+# thousands of words per turn; values and rng consumption are identical)
+_WORDS_ARR = {k: np.array(v, dtype=object) for k, v in _WORDS.items()}
 
 # Opt-in kind distribution for a NON-ASCII-HEAVY corpus (the r7 multilingual
 # bench row: ~45% of turns carry non-Latin scripts, so the non-ASCII scrub
@@ -72,10 +76,12 @@ MULTILANG_KINDS = [
 
 
 def _sentence(rng: np.random.RandomState, lang: str, n: int) -> str:
-    pool = _WORDS[lang]
-    words = [pool[i] for i in rng.randint(0, len(pool), n)]
+    pool = _WORDS_ARR[lang]
+    # same rng call (one randint of size n), same selected words — the
+    # object-array gather + tolist just skips the per-word Python loop
+    words = pool[rng.randint(0, len(pool), n)]
     sep = "" if lang in ("zh", "ja") else " "
-    return sep.join(words)
+    return sep.join(words.tolist())
 
 
 def _gen_text(rng: np.random.RandomState, kind: str, prev: str) -> str:
@@ -134,6 +140,14 @@ def gen_conversation(conv_serial: int, seed: int = SEED, skew_every: int = 997,
         kind_names = [k for k, _ in kinds]
         kind_p = np.array([w for _, w in kinds], dtype=np.float64)
         kind_p = kind_p / kind_p.sum()
+    # the exact computation RandomState.choice(n, p=p) performs — one
+    # random_sample() searched against the normalized cdf — precomputed
+    # once per conversation instead of rebuilt per TURN inside choice()
+    # (r8: choice re-cumsums p on every call; measured 13.5× slower than
+    # the searchsorted equivalent, with identical draws AND rng state —
+    # pinned by test_gen_golden_hashes)
+    kind_cdf = kind_p.cumsum()
+    kind_cdf /= kind_cdf[-1]
     rng = np.random.RandomState((seed * 1_000_003 + conv_serial) % (2 ** 31))
     # Zipf-ish length; every `skew_every`-th conversation is a whale (skew!)
     if skew_every and conv_serial % skew_every == skew_every - 1:
@@ -151,7 +165,8 @@ def gen_conversation(conv_serial: int, seed: int = SEED, skew_every: int = 997,
             role = "system"
         else:
             role = ["user", "assistant", "tool"][t % 3]
-        kind = kind_names[rng.choice(len(kind_names), p=kind_p)]
+        kind = kind_names[kind_cdf.searchsorted(rng.random_sample(),
+                                                side="right")]
         text = _gen_text(rng, kind, prev)
         if doc_words is not None and kind not in ("empty", "dup"):
             tail = _sentence(rng, "en", int(rng.randint(*doc_words)))

@@ -469,3 +469,29 @@ def test_fasttext_gate_is_honest():
         pytest.skip("fasttext present; gate not exercisable")
     with pytest.raises(NotImplementedError):
         detect_language_fasttext(pd.Series(["hello"]), "/nonexistent/lid.bin")
+
+
+def test_gen_golden_hashes():
+    """r8 optimized the generator's hot path (the per-turn kind draw now
+    precomputes the cdf RandomState.choice rebuilt per call, and sentence
+    words gather through an object array) — the corpora must stay
+    BIT-IDENTICAL, because the bench's timed queries consume them and a
+    drifted corpus would silently change the workload.  These hashes were
+    pinned from the pre-optimization generator."""
+    import hashlib
+
+    from bytefreq_spark.synth import MULTILANG_KINDS
+
+    def h(pdf):
+        pdf = pdf.copy()
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+        return hashlib.sha256(pdf.to_csv(index=False).encode()).hexdigest()
+
+    assert h(gen_transcripts_pandas(300)) == (
+        "29f53645044831a4995a75c48ee5be3efc63080cd2bc84067dd537c6f533f21a")
+    assert h(gen_transcripts_pandas(50, skew_every=50, skew_len=500)) == (
+        "c72be9b007684ffc12a4b08dab50dffccda5b7eb8bee20579fc3c740c9a5eec8")
+    assert h(gen_transcripts_pandas(20, skew_every=0, doc_words=(17, 85))) == (
+        "88fb518d71dc6b676fcf0c3986e14ee6ecb9f544216e511b9c26e2cacf5141d8")
+    assert h(gen_transcripts_pandas(200, kinds=MULTILANG_KINDS)) == (
+        "ddb68c002767d72d4be94efd159b231dce204e939aa0d68727f164f45b1a9b4f")

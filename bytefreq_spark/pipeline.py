@@ -899,12 +899,31 @@ def run_with_checkpoints(
     silently reusing a snapshot built under the other plan, and with
     ``drop_text`` the labels snapshot carries scrubbed text only (raw
     text/tool never cross the conversation exchange — same hashed dup-lag
-    as quality_filter)."""
+    as quality_filter).
+
+    r8 (ADVICE_r7 #1): the probe's full input scan is skipped on RESUME —
+    when the current labels snapshot was committed with the same config
+    apart from the salt, its recorded salt decision is adopted instead of
+    re-scanning the input just to recompute the fingerprint.  This is a
+    perf-only shortcut: re-running against a *changed* input under the same
+    out_dir keeps the old (possibly suboptimal) salt but never affects
+    values — the salt only places rows.  Point a new input at a new out_dir
+    (or pass auto_salt=False / an explicit salt) to force a fresh decision."""
     os.makedirs(out_dir, exist_ok=True)
     if auto_salt:
-        target = salt_partitions or (
-            spark.sparkContext.defaultParallelism * 2)
-        salt_partitions = input_salt_decision(transcripts, target)
+        base_cfg = dict(config or {}, version=1, drop_text=drop_text)
+        man = _load_manifest(out_dir, "labels")
+        cur = (man or {}).get("versions", {}).get(
+            str((man or {}).get("current", 0)), {})
+        prev_cfg = cur.get("config")
+        if prev_cfg is not None and {
+            k: v for k, v in prev_cfg.items() if k != "salt"
+        } == base_cfg:
+            salt_partitions = prev_cfg.get("salt")  # resume: reuse decision
+        else:
+            target = salt_partitions or (
+                spark.sparkContext.defaultParallelism * 2)
+            salt_partitions = input_salt_decision(transcripts, target)
     config = dict(config or {}, version=1, salt=salt_partitions,
                   drop_text=drop_text)
 

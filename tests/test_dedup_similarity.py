@@ -432,6 +432,37 @@ def test_lsh_signature_native_equals_arrow(spark):
         assert LSH_NATIVE_MAX_TERMS > 0  # routing constant still exported
 
 
+def test_seq_dot_udf_equals_expression(spark):
+    """The r8 rescore kernel must be BIT-identical to the zip_with/aggregate
+    dot-product expression (same sequential IEEE fold), including the
+    all-zero vector; a NULL vector comes back NULL on both surfaces (the
+    kernel emits NaN, which the Arrow return path maps to NULL)."""
+    import numpy as np
+
+    from bytefreq_spark.similarity import _dot, seq_dot_udf
+
+    rng = np.random.RandomState(7)
+    dim = 48
+    rows = [(i,
+             [float(x) for x in rng.standard_normal(dim)],
+             [float(x) for x in rng.standard_normal(dim)])
+            for i in range(40)]
+    rows.append((40, [0.0] * dim, [float(x) for x in rng.standard_normal(dim)]))
+    df = spark.createDataFrame(
+        rows, "pid long, a array<float>, b array<float>")
+    expr = {r["pid"]: r["d"] for r in df.select(
+        "pid", _dot(F.col("a"), F.col("b")).alias("d")).collect()}
+    arrow = {r["pid"]: r["d"] for r in df.select(
+        "pid", seq_dot_udf(dim)(F.col("a"), F.col("b")).alias("d")).collect()}
+    assert expr == arrow  # bit-identical doubles, exact dict equality
+    # NULL vector: NULL on both surfaces (kernel NaN → Arrow NULL)
+    ndf = spark.createDataFrame(
+        [(0, None, [1.0] * dim)], "pid long, a array<float>, b array<float>")
+    nexpr = ndf.select(_dot(F.col("a"), F.col("b")).alias("d")).first()["d"]
+    narrow = ndf.select(seq_dot_udf(dim)(F.col("a"), F.col("b")).alias("d")).first()["d"]
+    assert nexpr is None and narrow is None
+
+
 def test_ann_lsh_high_dim_runs_arrow(spark):
     """ann_lsh_topk at production dims uses the Arrow path end-to-end and
     still returns the planted nearest neighbor."""
